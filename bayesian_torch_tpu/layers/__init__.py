@@ -1,0 +1,10 @@
+"""All Bayesian layer classes, re-exported flat (mirrors reference
+bayesian_torch/layers/__init__.py so ``getattr(layers, name)`` lookups in
+dnn_to_bnn keep working)."""
+
+from bayesian_torch_tpu.layers.base_variational_layer import (  # noqa: F401
+    BaseVariationalLayer,
+    get_kernel_size,
+)
+from bayesian_torch_tpu.layers.variational_layers import *  # noqa: F401,F403
+from bayesian_torch_tpu.layers.flipout_layers import *  # noqa: F401,F403

@@ -1,0 +1,117 @@
+"""Base class and shared plumbing for variational layers.
+
+TPU-native counterpart of the reference's ``BaseVariationalLayer_``
+(reference: bayesian_torch/layers/base_variational_layer.py:35-68). Key
+re-designs:
+
+- Layers are ``flax.nnx`` modules: posterior parameters are ``nnx.Param``
+  leaves of a pytree, priors are non-trainable ``Prior`` variables (scalar
+  by default, arrays after MOPED init), and weight-noise is drawn from an
+  explicit ``nnx.Rngs`` stream rather than an in-place ``eps`` buffer
+  (reference idiom: ``self.eps_weight.data.normal_()``,
+  linear_variational.py:161).
+- ``kl_div`` keeps the reference's exact reduction semantics: the **mean**
+  over elements of the closed-form Gaussian KL(Q||P)
+  (base_variational_layer.py:53-68), with bias KL *added* (not
+  size-weighted).
+"""
+
+from __future__ import annotations
+
+import collections.abc
+import threading
+from itertools import repeat
+
+import jax.numpy as jnp
+from flax import nnx
+
+from bayesian_torch_tpu.ops.kl import gaussian_kl
+
+
+def get_kernel_size(x, n):
+    """Normalize an int-or-iterable kernel spec to an n-tuple.
+
+    Mirrors reference base_variational_layer.py:35-38.
+    """
+    if isinstance(x, collections.abc.Iterable):
+        return tuple(x)
+    return tuple(repeat(x, n))
+
+
+class Prior(nnx.Variable):
+    """Non-trainable prior parameter (mu or sigma of the Gaussian prior).
+
+    Scalar (0-d) by default; MOPED init replaces the value with a full
+    array matching the posterior shape (reference utils/util.py:102-104).
+    Excluded from optimizer updates because it is not an ``nnx.Param``.
+    """
+
+
+_default_rngs_lock = threading.Lock()
+_default_rngs_seed = [0]
+
+
+def default_rngs() -> nnx.Rngs:
+    """Fresh ``nnx.Rngs`` for layers constructed without explicit rngs.
+
+    The reference's layers are constructible with no RNG argument (torch
+    keeps RNG state globally); to preserve that constructor surface each
+    no-arg construction draws a new seed from a process-global counter.
+    Pass ``rngs=nnx.Rngs(...)`` explicitly for reproducibility.
+    """
+    with _default_rngs_lock:
+        seed = _default_rngs_seed[0]
+        _default_rngs_seed[0] += 1
+    return nnx.Rngs(params=seed, noise=seed + 0x9E3779B9)
+
+
+def seed_default_rngs(seed: int) -> None:
+    """Reset the process-global seed counter (test determinism helper)."""
+    with _default_rngs_lock:
+        _default_rngs_seed[0] = seed
+
+
+class BaseVariationalLayer(nnx.Module):
+    """Shared base for all Bayesian layers.
+
+    Provides the ``dnn_to_bnn_flag`` (when True, ``__call__`` returns the
+    bare output and KL is collected out-of-band via ``kl_loss()`` /
+    ``get_kl_loss``, matching reference dnn_to_bnn.py:157-165) and the
+    closed-form Gaussian KL with mean reduction.
+    """
+
+    def __init__(self):
+        self.dnn_to_bnn_flag = False
+
+    def kl_div(self, mu_q, sigma_q, mu_p, sigma_p):
+        """KL(Q||P) between diagonal Gaussians, mean-reduced over elements.
+
+        Same formula and reduction as reference
+        base_variational_layer.py:53-68.
+        """
+        return gaussian_kl(mu_q, sigma_q, mu_p, sigma_p)
+
+    # --- shared posterior/prior construction helpers -------------------
+
+    def _init_posterior(self, rngs: nnx.Rngs, shape, mu_init, rho_init,
+                        dtype=jnp.float32):
+        """mu ~ N(mu_init, 0.1), rho ~ N(rho_init, 0.1).
+
+        Matches reference init (linear_variational.py:131-142).
+        Returns (mu Param, rho Param).
+        """
+        import jax
+
+        mu = nnx.Param(
+            mu_init + 0.1 * jax.random.normal(rngs.params(), shape, dtype))
+        rho = nnx.Param(
+            rho_init + 0.1 * jax.random.normal(rngs.params(), shape, dtype))
+        return mu, rho
+
+    def _init_prior(self, prior_mean, prior_variance, dtype=jnp.float32):
+        """Scalar priors; note the reference uses ``prior_variance``
+        directly as sigma_p in kl_div (linear_variational.py:132-133 fills
+        prior_weight_sigma with prior_variance) — we preserve that
+        semantic exactly."""
+        return (Prior(jnp.asarray(prior_mean, dtype)),
+                Prior(jnp.asarray(prior_variance, dtype)))

@@ -1,0 +1,106 @@
+"""Linear layer with the Flipout MC estimator (Wen et al., 2018).
+
+TPU-native counterpart of the reference ``LinearFlipout``
+(bayesian_torch/layers/flipout_layers/linear_flipout.py:49-197). Same
+parameter surface and math: mean GEMM carries mu_weight and mu_bias;
+the perturbation GEMM carries sigma*eps with per-call Rademacher input/
+output sign flips, and only sigma_b*eps_b for the bias
+(linear_flipout.py:160-173).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from flax import nnx
+
+from bayesian_torch_tpu.layers.base_variational_layer import (
+    BaseVariationalLayer,
+    default_rngs,
+)
+from bayesian_torch_tpu.ops import linear as linear_ops
+from bayesian_torch_tpu.ops.kl import gaussian_kl
+from bayesian_torch_tpu.ops.sampling import sigma_from_rho
+
+__all__ = ["LinearFlipout"]
+
+
+class LinearFlipout(BaseVariationalLayer):
+
+    def __init__(self,
+                 in_features: int,
+                 out_features: int,
+                 prior_mean: float = 0,
+                 prior_variance: float = 1,
+                 posterior_mu_init: float = 0,
+                 posterior_rho_init: float = -3.0,
+                 bias: bool = True,
+                 *,
+                 rngs: Optional[nnx.Rngs] = None,
+                 compute_dtype=None,
+                 impl: str = "xla"):
+        super().__init__()
+        if rngs is None:
+            rngs = default_rngs()
+
+        self.in_features = in_features
+        self.out_features = out_features
+        self.prior_mean = prior_mean
+        self.prior_variance = prior_variance
+        self.posterior_mu_init = posterior_mu_init
+        self.posterior_rho_init = posterior_rho_init
+        self.bias = bias
+        self.compute_dtype = compute_dtype
+        self.impl = impl
+        self.rngs = rngs
+
+        self.mu_weight, self.rho_weight = self._init_posterior(
+            rngs, (out_features, in_features),
+            posterior_mu_init, posterior_rho_init)
+        self.prior_weight_mu, self.prior_weight_sigma = self._init_prior(
+            prior_mean, prior_variance)
+
+        if bias:
+            self.mu_bias, self.rho_bias = self._init_posterior(
+                rngs, (out_features,),
+                posterior_mu_init, posterior_rho_init)
+            self.prior_bias_mu, self.prior_bias_sigma = self._init_prior(
+                prior_mean, prior_variance)
+        else:
+            self.mu_bias = None
+            self.rho_bias = None
+            self.prior_bias_mu = None
+            self.prior_bias_sigma = None
+
+    def kl_loss(self):
+        kl = gaussian_kl(self.mu_weight[...],
+                         sigma_from_rho(self.rho_weight[...]),
+                         self.prior_weight_mu[...],
+                         self.prior_weight_sigma[...])
+        if self.mu_bias is not None:
+            kl = kl + gaussian_kl(self.mu_bias[...],
+                                  sigma_from_rho(self.rho_bias[...]),
+                                  self.prior_bias_mu[...],
+                                  self.prior_bias_sigma[...])
+        return kl
+
+    def __call__(self, x, return_kl: bool = True, *,
+                 eps_w=None, eps_b=None, sign_in=None, sign_out=None):
+        if self.dnn_to_bnn_flag:
+            return_kl = False
+
+        mu_b = self.mu_bias[...] if self.mu_bias is not None else None
+        rho_b = self.rho_bias[...] if self.rho_bias is not None else None
+
+        out = linear_ops.flipout_linear(
+            x, self.rngs.noise(),
+            self.mu_weight[...], self.rho_weight[...], mu_b, rho_b,
+            eps_w=eps_w, eps_b=eps_b, sign_in=sign_in, sign_out=sign_out,
+            compute_dtype=self.compute_dtype)
+
+        if return_kl:
+            return out, self.kl_loss()
+        return out
+
+    def __repr__(self):
+        return "LinearFlipout()"

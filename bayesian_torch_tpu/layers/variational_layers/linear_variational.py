@@ -1,0 +1,112 @@
+"""Linear layer with the reparameterization MC estimator.
+
+TPU-native counterpart of the reference ``LinearReparameterization``
+(bayesian_torch/layers/variational_layers/linear_variational.py:54-201).
+Same constructor surface, parameter names/shapes (``mu_weight``/
+``rho_weight`` of shape (out_features, in_features)), init distribution
+(N(init, 0.1)), KL semantics (mean over weight elements + mean over bias
+elements), and the ``(out, kl)`` return convention with the
+``dnn_to_bnn_flag`` bare-output mode.
+
+Differences by design (TPU-first):
+- noise comes from an explicit ``nnx.Rngs`` "noise" stream, not an
+  in-place eps buffer;
+- KL is evaluated lazily from parameters (it does not depend on the
+  sample), so MC-vmapped forwards don't recompute it per sample;
+- the sampled-GEMM runs through ops.linear (XLA fused; Pallas kernel
+  behind ``impl='pallas'``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import nnx
+
+from bayesian_torch_tpu.layers.base_variational_layer import (
+    BaseVariationalLayer,
+    default_rngs,
+)
+from bayesian_torch_tpu.ops import linear as linear_ops
+from bayesian_torch_tpu.ops.kl import gaussian_kl
+from bayesian_torch_tpu.ops.sampling import sigma_from_rho
+
+
+class LinearReparameterization(BaseVariationalLayer):
+
+    def __init__(self,
+                 in_features: int,
+                 out_features: int,
+                 prior_mean: float = 0,
+                 prior_variance: float = 1,
+                 posterior_mu_init: float = 0,
+                 posterior_rho_init: float = -3.0,
+                 bias: bool = True,
+                 *,
+                 rngs: Optional[nnx.Rngs] = None,
+                 compute_dtype=None,
+                 impl: str = "xla"):
+        super().__init__()
+        if rngs is None:
+            rngs = default_rngs()
+
+        self.in_features = in_features
+        self.out_features = out_features
+        self.prior_mean = prior_mean
+        self.prior_variance = prior_variance
+        self.posterior_mu_init = posterior_mu_init
+        self.posterior_rho_init = posterior_rho_init
+        self.bias = bias
+        self.compute_dtype = compute_dtype
+        self.impl = impl
+        self.rngs = rngs
+
+        self.mu_weight, self.rho_weight = self._init_posterior(
+            rngs, (out_features, in_features),
+            posterior_mu_init, posterior_rho_init)
+        self.prior_weight_mu, self.prior_weight_sigma = self._init_prior(
+            prior_mean, prior_variance)
+
+        if bias:
+            self.mu_bias, self.rho_bias = self._init_posterior(
+                rngs, (out_features,),
+                posterior_mu_init, posterior_rho_init)
+            self.prior_bias_mu, self.prior_bias_sigma = self._init_prior(
+                prior_mean, prior_variance)
+        else:
+            self.mu_bias = None
+            self.rho_bias = None
+            self.prior_bias_mu = None
+            self.prior_bias_sigma = None
+
+    def kl_loss(self):
+        """Closed-form KL of the posterior against the prior.
+
+        Reference: linear_variational.py:144-155 (weight-mean + bias-mean).
+        """
+        kl = gaussian_kl(self.mu_weight[...], sigma_from_rho(self.rho_weight[...]),
+                         self.prior_weight_mu[...], self.prior_weight_sigma[...])
+        if self.mu_bias is not None:
+            kl = kl + gaussian_kl(self.mu_bias[...], sigma_from_rho(self.rho_bias[...]),
+                                  self.prior_bias_mu[...], self.prior_bias_sigma[...])
+        return kl
+
+    def __call__(self, input, return_kl: bool = True, *, eps_w=None, eps_b=None):
+        if self.dnn_to_bnn_flag:
+            return_kl = False
+
+        mu_b = self.mu_bias[...] if self.mu_bias is not None else None
+        rho_b = self.rho_bias[...] if self.rho_bias is not None else None
+
+        out = linear_ops.sampled_linear(
+            input, self.rngs.noise(),
+            self.mu_weight[...], self.rho_weight[...], mu_b, rho_b,
+            eps_w=eps_w, eps_b=eps_b, compute_dtype=self.compute_dtype)
+
+        if return_kl:
+            return out, self.kl_loss()
+        return out
+
+    def __repr__(self):  # used by MOPED string matching in the reference
+        return "LinearReparameterization()"

@@ -1,0 +1,87 @@
+"""Sampled / Flipout linear ops (K1 and K2 of SURVEY.md §2.4), XLA path.
+
+These pure functions are the hot path behind ``LinearReparameterization``
+and ``LinearFlipout``. Under jit, XLA fuses the softplus+mul+add weight
+build into the GEMM's operand pipeline; the Pallas path
+(``ops/pallas/sampled_matmul.py``) additionally draws eps on-chip so the
+sampled W never round-trips through HBM.
+
+Reference delegation sites being replaced:
+- reparam: linear_variational.py:160-178 (eps normal_ + elementwise +
+  F.linear)
+- flipout: linear_flipout.py:145-174 (two F.linear + sign flips)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bayesian_torch_tpu.ops.sampling import sample_gaussian_weight, sigma_from_rho
+
+
+def _linear(x, w, b=None, compute_dtype=None):
+    """y = x @ w^T + b with torch-layout weight (out_features, in_features)."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    out = jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def sampled_linear(x, key, mu_w, rho_w, mu_b=None, rho_b=None, *,
+                   eps_w=None, eps_b=None, compute_dtype=None):
+    """Reparameterization-estimator linear: W,b sampled per call.
+
+    Returns the output only; KL is a separate pure function of the
+    parameters (ops.kl.gaussian_kl), so ELBO code can evaluate it once
+    instead of per MC sample.
+    """
+    kw, kb = jax.random.split(key)
+    w, _ = sample_gaussian_weight(kw, mu_w, rho_w, eps=eps_w)
+    b = None
+    if mu_b is not None:
+        b, _ = sample_gaussian_weight(kb, mu_b, rho_b, eps=eps_b)
+    return _linear(x, w, b, compute_dtype)
+
+
+def flipout_linear(x, key, mu_w, rho_w, mu_b=None, rho_b=None, *,
+                   eps_w=None, eps_b=None, sign_in=None, sign_out=None,
+                   compute_dtype=None):
+    """Flipout-estimator linear (Wen et al. 2018).
+
+    out = (x @ mu^T + mu_b) + sign_out * ((x*sign_in) @ (sigma*eps)^T + sigma_b*eps_b)
+
+    Matches reference linear_flipout.py:145-174 exactly: the mean bias
+    rides the first GEMM; only sigma_b*eps_b (no mu_b) rides the
+    perturbation GEMM; signs are iid Rademacher with input signs shaped
+    like x and output signs shaped like the output.
+    """
+    k_eps, k_epsb, k_sin, k_sout = jax.random.split(key, 4)
+    sigma_w = sigma_from_rho(rho_w)
+    if eps_w is None:
+        eps_w = jax.random.normal(k_eps, mu_w.shape, mu_w.dtype)
+    delta_w = sigma_w * eps_w
+
+    mean_out = _linear(x, mu_w, mu_b, compute_dtype)
+
+    pert_bias = None
+    if mu_b is not None:
+        sigma_b = sigma_from_rho(rho_b)
+        if eps_b is None:
+            eps_b = jax.random.normal(k_epsb, mu_b.shape, mu_b.dtype)
+        pert_bias = sigma_b * eps_b
+
+    if sign_in is None:
+        sign_in = jax.random.rademacher(k_sin, x.shape, x.dtype)
+    if sign_out is None:
+        sign_out = jax.random.rademacher(k_sout, mean_out.shape,
+                                         mean_out.dtype)
+    perturbed = _linear(x * sign_in, delta_w, pert_bias, compute_dtype)
+    return mean_out + perturbed * sign_out
