@@ -1,0 +1,149 @@
+"""Shared implementation for all 12 Bayesian conv layer classes.
+
+The reference implements 6 reparameterization conv classes
+(conv_variational.py, 1095 LoC) and 6 flipout conv classes
+(conv_flipout.py, 1228 LoC) as copy-paste variants. Here one
+parameterized base covers all of them; the public subclasses pin
+(nd, transposed, estimator) and keep the reference's class names,
+constructor signatures, parameter names (mu_kernel/rho_kernel) and
+shapes:
+
+- Conv:          (out_channels, in_channels // groups, *kernel_size)
+  (reference conv_variational.py:117-124)
+- ConvTranspose: (in_channels, out_channels // groups, *kernel_size)
+  (reference conv_variational.py:632-647), with ``output_padding``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from flax import nnx
+
+from bayesian_torch_tpu.layers.base_variational_layer import (
+    BaseVariationalLayer,
+    default_rngs,
+    get_kernel_size,
+)
+from bayesian_torch_tpu.ops import conv as conv_ops
+from bayesian_torch_tpu.ops.kl import gaussian_kl
+from bayesian_torch_tpu.ops.sampling import sigma_from_rho
+
+
+class _BaseConvLayer(BaseVariationalLayer):
+    """Common ctor/kl/forward for Bayesian convs; see subclasses."""
+
+    nd: int = 2
+    transposed: bool = False
+    estimator: str = "reparameterization"  # or "flipout"
+
+    def __init__(self,
+                 in_channels: int,
+                 out_channels: int,
+                 kernel_size,
+                 stride=1,
+                 padding=0,
+                 dilation=1,
+                 groups: int = 1,
+                 prior_mean: float = 0,
+                 prior_variance: float = 1,
+                 posterior_mu_init: float = 0,
+                 posterior_rho_init: float = -3.0,
+                 bias: bool = True,
+                 output_padding=0,
+                 *,
+                 rngs: Optional[nnx.Rngs] = None,
+                 compute_dtype=None,
+                 impl: str = "xla"):
+        super().__init__()
+        if in_channels % groups != 0:
+            raise ValueError("invalid in_channels size")
+        if out_channels % groups != 0:
+            raise ValueError("invalid out_channels size")
+        if rngs is None:
+            rngs = default_rngs()
+
+        kernel_size = get_kernel_size(kernel_size, self.nd)
+
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.padding = padding
+        self.dilation = dilation
+        self.groups = groups
+        self.output_padding = output_padding
+        self.prior_mean = prior_mean
+        self.prior_variance = prior_variance
+        self.posterior_mu_init = posterior_mu_init
+        self.posterior_rho_init = posterior_rho_init
+        self.bias = bias
+        self.compute_dtype = compute_dtype
+        self.impl = impl
+        self.rngs = rngs
+
+        if self.transposed:
+            kshape = (in_channels, out_channels // groups) + kernel_size
+        else:
+            kshape = (out_channels, in_channels // groups) + kernel_size
+
+        self.mu_kernel, self.rho_kernel = self._init_posterior(
+            rngs, kshape, posterior_mu_init, posterior_rho_init)
+        self.prior_weight_mu, self.prior_weight_sigma = self._init_prior(
+            prior_mean, prior_variance)
+
+        if bias:
+            self.mu_bias, self.rho_bias = self._init_posterior(
+                rngs, (out_channels,), posterior_mu_init, posterior_rho_init)
+            self.prior_bias_mu, self.prior_bias_sigma = self._init_prior(
+                prior_mean, prior_variance)
+        else:
+            self.mu_bias = None
+            self.rho_bias = None
+            self.prior_bias_mu = None
+            self.prior_bias_sigma = None
+
+    def kl_loss(self):
+        """Reference: conv_variational.py kl_loss (weight mean + bias mean)."""
+        kl = gaussian_kl(self.mu_kernel[...],
+                         sigma_from_rho(self.rho_kernel[...]),
+                         self.prior_weight_mu[...],
+                         self.prior_weight_sigma[...])
+        if self.mu_bias is not None:
+            kl = kl + gaussian_kl(self.mu_bias[...],
+                                  sigma_from_rho(self.rho_bias[...]),
+                                  self.prior_bias_mu[...],
+                                  self.prior_bias_sigma[...])
+        return kl
+
+    def __call__(self, input, return_kl: bool = True, *,
+                 eps_k=None, eps_b=None, sign_in=None, sign_out=None):
+        if self.dnn_to_bnn_flag:
+            return_kl = False
+
+        mu_b = self.mu_bias[...] if self.mu_bias is not None else None
+        rho_b = self.rho_bias[...] if self.rho_bias is not None else None
+        common = dict(stride=self.stride, padding=self.padding,
+                      output_padding=self.output_padding,
+                      dilation=self.dilation, groups=self.groups,
+                      transposed=self.transposed,
+                      compute_dtype=self.compute_dtype)
+
+        if self.estimator == "flipout":
+            out = conv_ops.flipout_conv(
+                input, self.rngs.noise(),
+                self.mu_kernel[...], self.rho_kernel[...], mu_b, rho_b,
+                eps_k=eps_k, eps_b=eps_b, sign_in=sign_in,
+                sign_out=sign_out, **common)
+        else:
+            out = conv_ops.sampled_conv(
+                input, self.rngs.noise(),
+                self.mu_kernel[...], self.rho_kernel[...], mu_b, rho_b,
+                eps_k=eps_k, eps_b=eps_b, **common)
+
+        if return_kl:
+            return out, self.kl_loss()
+        return out
+
+    def __repr__(self):
+        return f"{type(self).__name__}()"
