@@ -8,3 +8,10 @@ from bayesian_torch_tpu.layers.base_variational_layer import (  # noqa: F401
 )
 from bayesian_torch_tpu.layers.variational_layers import *  # noqa: F401,F403
 from bayesian_torch_tpu.layers.flipout_layers import *  # noqa: F401,F403
+from bayesian_torch_tpu.layers.batchnorm import (  # noqa: F401
+    BatchNorm1dLayer,
+    BatchNorm2dLayer,
+    BatchNorm3dLayer,
+)
+from bayesian_torch_tpu.layers.dropout import Dropout  # noqa: F401
+from bayesian_torch_tpu.layers.relu import ReLU  # noqa: F401

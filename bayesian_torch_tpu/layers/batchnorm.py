@@ -1,0 +1,126 @@
+"""BatchNorm wrapper layers with the (out, kl) tuple convention.
+
+Counterparts of reference layers/batchnorm.py (BatchNorm2dLayer :10,
+BatchNorm1dLayer :82, BatchNorm3dLayer :146): deterministic torch-style
+batch norm over NC* activations, adapted so it can sit inside Bayesian
+models that thread ``(x, kl)`` tuples. Like the reference's 2d variant
+(batchnorm.py:66-79), calling with a ``(x, kl)`` tuple returns
+``(out, 0)`` while a bare array returns the bare output.
+
+torch semantics preserved: running = (1 - momentum)*running + momentum*
+batch (cumulative average when momentum is None), biased variance for
+normalization + unbiased variance stored in running stats, train/eval
+via the ``training`` attribute (nnx.Module train()/eval() toggles it).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+
+class _BatchNormNdLayer(nnx.Module):
+    nd: int = 2
+
+    def __init__(self,
+                 num_features: int,
+                 eps: float = 1e-5,
+                 momentum: Optional[float] = 0.1,
+                 affine: bool = True,
+                 track_running_stats: bool = True,
+                 *,
+                 rngs: Optional[nnx.Rngs] = None):
+        self.num_features = num_features
+        self.eps = eps
+        self.momentum = momentum
+        self.affine = affine
+        self.track_running_stats = track_running_stats
+        self.training = True
+
+        if affine:
+            # reference init: weight ~ U(0,1), bias = 0 (batchnorm.py:46-50)
+            if rngs is not None:
+                w = jax.random.uniform(rngs.params(), (num_features,))
+            else:
+                w = jnp.ones((num_features,))
+            self.weight = nnx.Param(w)
+            self.bias = nnx.Param(jnp.zeros((num_features,)))
+        else:
+            self.weight = None
+            self.bias = None
+
+        if track_running_stats:
+            self.running_mean = nnx.BatchStat(jnp.zeros((num_features,)))
+            self.running_var = nnx.BatchStat(jnp.ones((num_features,)))
+            self.num_batches_tracked = nnx.BatchStat(
+                jnp.zeros((), jnp.int32))
+        else:
+            self.running_mean = None
+            self.running_var = None
+            self.num_batches_tracked = None
+
+    def train(self):
+        self.training = True
+
+    def eval(self):
+        self.training = False
+
+    def _normalize(self, x):
+        if x.ndim != self.nd + 2:
+            raise ValueError(
+                f"expected {self.nd + 2}D input (got {x.ndim}D input)")
+        reduce_axes = (0,) + tuple(range(2, x.ndim))
+        shape = (1, -1) + (1,) * (x.ndim - 2)
+
+        use_batch_stats = self.training or not self.track_running_stats
+        if use_batch_stats:
+            mean = jnp.mean(x, axis=reduce_axes)
+            var = jnp.var(x, axis=reduce_axes)
+            if self.training and self.track_running_stats:
+                self.num_batches_tracked[...] = (
+                    self.num_batches_tracked[...] + 1)
+                if self.momentum is None:
+                    factor = 1.0 / self.num_batches_tracked[...].astype(
+                        jnp.float32)
+                else:
+                    factor = self.momentum
+                n = x.size / self.num_features
+                unbiased_var = var * (n / max(n - 1.0, 1.0))
+                self.running_mean[...] = ((1 - factor) * self.running_mean[...]
+                                          + factor * mean)
+                self.running_var[...] = ((1 - factor) * self.running_var[...]
+                                         + factor * unbiased_var)
+        else:
+            mean = self.running_mean[...]
+            var = self.running_var[...]
+
+        out = (x - mean.reshape(shape)) * jax.lax.rsqrt(
+            var.reshape(shape) + self.eps)
+        if self.affine:
+            out = out * self.weight[...].reshape(shape) + \
+                self.bias[...].reshape(shape)
+        return out
+
+    def __call__(self, input):
+        if isinstance(input, tuple):
+            x, _ = input
+            return self._normalize(x), 0
+        return self._normalize(input)
+
+    def __repr__(self):
+        return f"{type(self).__name__}()"
+
+
+class BatchNorm1dLayer(_BatchNormNdLayer):
+    nd = 1
+
+
+class BatchNorm2dLayer(_BatchNormNdLayer):
+    nd = 2
+
+
+class BatchNorm3dLayer(_BatchNormNdLayer):
+    nd = 3

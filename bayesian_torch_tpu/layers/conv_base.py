@@ -26,7 +26,7 @@ from bayesian_torch_tpu.layers.base_variational_layer import (
     get_kernel_size,
 )
 from bayesian_torch_tpu.ops import conv as conv_ops
-from bayesian_torch_tpu.ops.kl import gaussian_kl
+from bayesian_torch_tpu.ops.kl import gaussian_kl_from_rho
 from bayesian_torch_tpu.ops.sampling import sigma_from_rho
 
 
@@ -105,13 +105,11 @@ class _BaseConvLayer(BaseVariationalLayer):
 
     def kl_loss(self):
         """Reference: conv_variational.py kl_loss (weight mean + bias mean)."""
-        kl = gaussian_kl(self.mu_kernel[...],
-                         sigma_from_rho(self.rho_kernel[...]),
+        kl = gaussian_kl_from_rho(self.mu_kernel[...], self.rho_kernel[...],
                          self.prior_weight_mu[...],
                          self.prior_weight_sigma[...])
         if self.mu_bias is not None:
-            kl = kl + gaussian_kl(self.mu_bias[...],
-                                  sigma_from_rho(self.rho_bias[...]),
+            kl = kl + gaussian_kl_from_rho(self.mu_bias[...], self.rho_bias[...],
                                   self.prior_bias_mu[...],
                                   self.prior_bias_sigma[...])
         return kl

@@ -19,7 +19,7 @@ from bayesian_torch_tpu.layers.base_variational_layer import (
     default_rngs,
 )
 from bayesian_torch_tpu.ops import linear as linear_ops
-from bayesian_torch_tpu.ops.kl import gaussian_kl
+from bayesian_torch_tpu.ops.kl import gaussian_kl_from_rho
 from bayesian_torch_tpu.ops.sampling import sigma_from_rho
 
 __all__ = ["LinearFlipout"]
@@ -73,13 +73,11 @@ class LinearFlipout(BaseVariationalLayer):
             self.prior_bias_sigma = None
 
     def kl_loss(self):
-        kl = gaussian_kl(self.mu_weight[...],
-                         sigma_from_rho(self.rho_weight[...]),
+        kl = gaussian_kl_from_rho(self.mu_weight[...], self.rho_weight[...],
                          self.prior_weight_mu[...],
                          self.prior_weight_sigma[...])
         if self.mu_bias is not None:
-            kl = kl + gaussian_kl(self.mu_bias[...],
-                                  sigma_from_rho(self.rho_bias[...]),
+            kl = kl + gaussian_kl_from_rho(self.mu_bias[...], self.rho_bias[...],
                                   self.prior_bias_mu[...],
                                   self.prior_bias_sigma[...])
         return kl

@@ -18,15 +18,27 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def gaussian_kl(mu_q, sigma_q, mu_p, sigma_p):
+def gaussian_kl(mu_q, sigma_q, mu_p, sigma_p, *, log_sigma_q=None):
     """Mean-reduced KL(N(mu_q, sigma_q^2) || N(mu_p, sigma_p^2)).
 
     ``mu_p``/``sigma_p`` may be scalars (the common config-prior case) or
     arrays broadcastable against ``mu_q`` (MOPED empirical priors).
+    ``log_sigma_q`` may be supplied for numerical stability when sigma_q
+    underflows (see ops.sampling.log_sigma_from_rho).
     """
     mu_p = jnp.asarray(mu_p, dtype=mu_q.dtype)
     sigma_p = jnp.asarray(sigma_p, dtype=mu_q.dtype)
-    kl = (jnp.log(sigma_p) - jnp.log(sigma_q)
+    if log_sigma_q is None:
+        log_sigma_q = jnp.log(sigma_q)
+    kl = (jnp.log(sigma_p) - log_sigma_q
           + (sigma_q ** 2 + (mu_q - mu_p) ** 2) / (2.0 * sigma_p ** 2)
           - 0.5)
     return jnp.mean(kl)
+
+
+def gaussian_kl_from_rho(mu_q, rho_q, mu_p, sigma_p):
+    """gaussian_kl with sigma_q = softplus(rho_q), underflow-stable."""
+    from bayesian_torch_tpu.ops.sampling import (log_sigma_from_rho,
+                                                 sigma_from_rho)
+    return gaussian_kl(mu_q, sigma_from_rho(rho_q), mu_p, sigma_p,
+                       log_sigma_q=log_sigma_from_rho(rho_q))

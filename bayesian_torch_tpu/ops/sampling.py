@@ -21,6 +21,18 @@ def sigma_from_rho(rho):
     return jax.nn.softplus(rho)
 
 
+def log_sigma_from_rho(rho):
+    """log(softplus(rho)), stable for very negative rho.
+
+    For rho << 0, softplus(rho) ~= exp(rho) underflows to a subnormal that
+    XLA's flush-to-zero turns into 0, making log(sigma) -inf where torch
+    (which keeps subnormals) returns ~rho. Branch to the asymptote
+    log(softplus(rho)) -> rho for rho < -20 (error < 1e-9 there).
+    """
+    safe = jnp.where(rho < -20.0, 0.0, rho)
+    return jnp.where(rho < -20.0, rho, jnp.log(jax.nn.softplus(safe)))
+
+
 def sample_gaussian_weight(key, mu, rho, eps=None):
     """W = mu + softplus(rho) * eps, eps ~ N(0, I).
 
