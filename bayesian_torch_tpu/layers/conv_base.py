@@ -54,6 +54,7 @@ class _BaseConvLayer(BaseVariationalLayer):
                  *,
                  rngs: Optional[nnx.Rngs] = None,
                  compute_dtype=None,
+                 data_format: str = "NCHW",
                  impl: str = "xla"):
         super().__init__()
         if in_channels % groups != 0:
@@ -79,6 +80,7 @@ class _BaseConvLayer(BaseVariationalLayer):
         self.posterior_rho_init = posterior_rho_init
         self.bias = bias
         self.compute_dtype = compute_dtype
+        self.data_format = data_format
         self.impl = impl
         self.rngs = rngs
 
@@ -125,7 +127,8 @@ class _BaseConvLayer(BaseVariationalLayer):
                       output_padding=self.output_padding,
                       dilation=self.dilation, groups=self.groups,
                       transposed=self.transposed,
-                      compute_dtype=self.compute_dtype)
+                      compute_dtype=self.compute_dtype,
+                      data_format=self.data_format)
 
         if self.estimator == "flipout":
             out = conv_ops.flipout_conv(

@@ -1,0 +1,14 @@
+"""Deterministic CIFAR ResNet-20..110 (MOPED source / baselines).
+
+Counterpart of reference models/deterministic/resnet.py.
+"""
+
+from bayesian_torch_tpu.models._cifar_resnet import (  # noqa: F401
+    BasicBlock,
+    CifarResNet,
+    make_factories,
+)
+
+__all__ = ["resnet20", "resnet32", "resnet44", "resnet56", "resnet110"]
+
+globals().update(make_factories(None))

@@ -1,0 +1,64 @@
+"""Deterministic functional ops (pooling etc.) with torch semantics, NC* layout."""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _ntuple(x, n) -> Tuple[int, ...]:
+    if isinstance(x, (tuple, list)):
+        return tuple(int(v) for v in x)
+    return (int(x),) * n
+
+
+def max_pool_nd(x, kernel_size, stride=None, padding=0):
+    """torch max_pool{1,2,3}d (NC* layout, -inf padding)."""
+    nd = x.ndim - 2
+    k = _ntuple(kernel_size, nd)
+    s = _ntuple(stride if stride is not None else kernel_size, nd)
+    p = _ntuple(padding, nd)
+    window = (1, 1) + k
+    strides = (1, 1) + s
+    pads = ((0, 0), (0, 0)) + tuple((pi, pi) for pi in p)
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, window, strides,
+                                 pads)
+
+
+def avg_pool_nd(x, kernel_size, stride=None, padding=0,
+                count_include_pad=True):
+    """torch avg_pool{1,2,3}d (NC* layout)."""
+    nd = x.ndim - 2
+    k = _ntuple(kernel_size, nd)
+    s = _ntuple(stride if stride is not None else kernel_size, nd)
+    p = _ntuple(padding, nd)
+    window = (1, 1) + k
+    strides = (1, 1) + s
+    pads = ((0, 0), (0, 0)) + tuple((pi, pi) for pi in p)
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, strides, pads)
+    if count_include_pad:
+        denom = 1.0
+        for ki in k:
+            denom *= ki
+        return summed / denom
+    ones = jnp.ones_like(x)
+    counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, window, strides,
+                                   pads)
+    return summed / counts
+
+
+def adaptive_avg_pool_nd(x, output_size):
+    """torch adaptive_avg_pool{1,2,3}d for the common exact-divisor case
+    (covers the model zoo's global-average-pool usage)."""
+    nd = x.ndim - 2
+    out = _ntuple(output_size, nd)
+    in_sp = x.shape[2:]
+    for i, o in enumerate(out):
+        if in_sp[i] % o != 0:
+            raise NotImplementedError(
+                "adaptive pooling requires input size divisible by output "
+                f"size (got {in_sp[i]} -> {o})")
+    k = tuple(in_sp[i] // out[i] for i in range(nd))
+    return avg_pool_nd(x, k, stride=k)

@@ -34,38 +34,55 @@ def _ntuple(x, n) -> Tuple[int, ...]:
     return (int(x),) * n
 
 
-def _dim_numbers(nd: int) -> Tuple[str, str, str]:
+def _dim_numbers(nd: int, data_format: str = "NCHW") -> Tuple[str, str, str]:
+    """Kernel is always torch-layout OIHW; activations NC* or N*C."""
     spatial = "DHW"[3 - nd:]
-    return ("NC" + spatial, "OI" + spatial, "NC" + spatial)
+    act = ("N" + spatial + "C") if data_format.endswith("C") else \
+        ("NC" + spatial)
+    return (act, "OI" + spatial, act)
+
+
+def _bias_shape(nd: int, data_format: str) -> Tuple[int, ...]:
+    if data_format.endswith("C"):
+        return (1,) * (nd + 1) + (-1,)
+    return (1, -1) + (1,) * nd
 
 
 def conv_nd(x, w, b=None, *, stride=1, padding=0, dilation=1, groups=1,
-            compute_dtype=None):
-    """torch.nn.functional.conv{1,2,3}d semantics."""
+            compute_dtype=None, data_format="NCHW"):
+    """torch.nn.functional.conv{1,2,3}d semantics.
+
+    ``padding`` may also be 'SAME'/'VALID' (lax strings) for models
+    converted from flax. ``data_format`` 'NCHW' (torch default) or
+    'NHWC' (TPU-friendly channels-last; kernel layout stays OIHW).
+    """
     nd = x.ndim - 2
     stride = _ntuple(stride, nd)
-    padding = _ntuple(padding, nd)
     dilation = _ntuple(dilation, nd)
+    if isinstance(padding, str):
+        pad = padding.upper()
+    else:
+        pad = [(p, p) for p in _ntuple(padding, nd)]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=stride,
-        padding=[(p, p) for p in padding],
+        padding=pad,
         rhs_dilation=dilation,
-        dimension_numbers=_dim_numbers(nd),
+        dimension_numbers=_dim_numbers(nd, data_format),
         feature_group_count=groups,
         preferred_element_type=jnp.float32,
     )
     if b is not None:
-        out = out + b.astype(out.dtype).reshape((1, -1) + (1,) * nd)
+        out = out + b.astype(out.dtype).reshape(_bias_shape(nd, data_format))
     return out
 
 
 def conv_transpose_nd(x, w, b=None, *, stride=1, padding=0,
                       output_padding=0, dilation=1, groups=1,
-                      compute_dtype=None):
+                      compute_dtype=None, data_format="NCHW"):
     """torch.nn.functional.conv_transpose{1,2,3}d semantics.
 
     Expressed as a fractionally-strided regular conv: lhs_dilation=stride,
@@ -73,6 +90,9 @@ def conv_transpose_nd(x, w, b=None, *, stride=1, padding=0,
     and per-dim padding (d*(k-1)-p, d*(k-1)-p+op).
     """
     nd = x.ndim - 2
+    if isinstance(padding, str):
+        raise ValueError("string padding is not supported for transposed "
+                         "convolutions; pass explicit ints")
     stride = _ntuple(stride, nd)
     padding = _ntuple(padding, nd)
     output_padding = _ntuple(output_padding, nd)
@@ -101,31 +121,31 @@ def conv_transpose_nd(x, w, b=None, *, stride=1, padding=0,
         padding=pads,
         lhs_dilation=stride,
         rhs_dilation=dilation,
-        dimension_numbers=_dim_numbers(nd),
+        dimension_numbers=_dim_numbers(nd, data_format),
         feature_group_count=groups,
         preferred_element_type=jnp.float32,
     )
     if b is not None:
-        out = out + b.astype(out.dtype).reshape((1, -1) + (1,) * nd)
+        out = out + b.astype(out.dtype).reshape(_bias_shape(nd, data_format))
     return out
 
 
 def _apply_conv(x, w, b, transposed, *, stride, padding, output_padding,
-                dilation, groups, compute_dtype):
+                dilation, groups, compute_dtype, data_format="NCHW"):
     if transposed:
         return conv_transpose_nd(
             x, w, b, stride=stride, padding=padding,
             output_padding=output_padding, dilation=dilation, groups=groups,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, data_format=data_format)
     return conv_nd(x, w, b, stride=stride, padding=padding,
                    dilation=dilation, groups=groups,
-                   compute_dtype=compute_dtype)
+                   compute_dtype=compute_dtype, data_format=data_format)
 
 
 def sampled_conv(x, key, mu_k, rho_k, mu_b=None, rho_b=None, *,
                  stride=1, padding=0, output_padding=0, dilation=1,
                  groups=1, transposed=False, eps_k=None, eps_b=None,
-                 compute_dtype=None):
+                 compute_dtype=None, data_format="NCHW"):
     """Reparameterization conv: sample kernel (and bias), then convolve.
 
     Reference: conv_variational.py:357-380.
@@ -137,13 +157,15 @@ def sampled_conv(x, key, mu_k, rho_k, mu_b=None, rho_b=None, *,
         b, _ = sample_gaussian_weight(kb, mu_b, rho_b, eps=eps_b)
     return _apply_conv(x, w, b, transposed, stride=stride, padding=padding,
                        output_padding=output_padding, dilation=dilation,
-                       groups=groups, compute_dtype=compute_dtype)
+                       groups=groups, compute_dtype=compute_dtype,
+                       data_format=data_format)
 
 
 def flipout_conv(x, key, mu_k, rho_k, mu_b=None, rho_b=None, *,
                  stride=1, padding=0, output_padding=0, dilation=1,
                  groups=1, transposed=False, eps_k=None, eps_b=None,
-                 sign_in=None, sign_out=None, compute_dtype=None):
+                 sign_in=None, sign_out=None, compute_dtype=None,
+                 data_format="NCHW"):
     """Flipout conv: mean conv + sign-flipped perturbation conv.
 
     Matches reference conv_flipout.py:370-433: the mean conv carries
@@ -154,7 +176,8 @@ def flipout_conv(x, key, mu_k, rho_k, mu_b=None, rho_b=None, *,
     mean_out = _apply_conv(x, mu_k, mu_b, transposed, stride=stride,
                            padding=padding, output_padding=output_padding,
                            dilation=dilation, groups=groups,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype,
+                           data_format=data_format)
 
     sigma_k = sigma_from_rho(rho_k)
     if eps_k is None:
@@ -177,5 +200,6 @@ def flipout_conv(x, key, mu_k, rho_k, mu_b=None, rho_b=None, *,
     pert = _apply_conv(x * sign_in, delta_k, pert_bias, transposed,
                        stride=stride, padding=padding,
                        output_padding=output_padding, dilation=dilation,
-                       groups=groups, compute_dtype=compute_dtype)
+                       groups=groups, compute_dtype=compute_dtype,
+                       data_format=data_format)
     return mean_out + pert * sign_out

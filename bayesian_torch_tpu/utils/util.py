@@ -1,0 +1,105 @@
+"""Utility functions for variational inference.
+
+TPU-native counterpart of reference bayesian_torch/utils/util.py:
+entropy-based UQ metrics (accepting numpy or JAX arrays), the
+inverse-softplus ``get_rho``, and MOPED empirical-Bayes initialization.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+
+def entropy(prob):
+    """-sum p log p along the last axis (reference util.py:41-42)."""
+    prob = np.asarray(prob)
+    return -1 * np.sum(prob * np.log(prob + 1e-15), axis=-1)
+
+
+def predictive_entropy(mc_preds):
+    """Entropy of the MC-mean predictive distribution
+    (reference util.py:45-50); mc_preds shape (MC, N, classes)."""
+    return entropy(np.mean(np.asarray(mc_preds), axis=0))
+
+
+def mutual_information(mc_preds):
+    """Predictive entropy minus mean per-sample entropy
+    (reference util.py:53-60)."""
+    mc_preds = np.asarray(mc_preds)
+    return entropy(np.mean(mc_preds, axis=0)) - np.mean(entropy(mc_preds),
+                                                        axis=0)
+
+
+def get_rho(sigma, delta):
+    """Inverse-softplus: rho such that softplus(rho) = delta * |sigma|.
+
+    Reference util.py:63-69: rho = log(expm1(delta*|sigma|) + 1e-20).
+    """
+    return jnp.log(jnp.expm1(delta * jnp.abs(jnp.asarray(sigma))) + 1e-20)
+
+
+def MOPED(model: nnx.Module, det_model: nnx.Module, det_checkpoint,
+          delta: float):
+    """Model Priors with Empirical Bayes using a Deterministic DNN
+    (Krishnan et al., AAAI 2020).
+
+    Counterpart of reference util.py:72-136: pairs Bayesian layers in
+    ``model`` with deterministic layers in ``det_model`` by module-walk
+    order + class-kind matching, then sets prior means AND initializes
+    surrogate posteriors (mu <- w, rho <- get_rho(w, delta)); BatchNorm
+    stats/params are copied through.
+
+    ``det_checkpoint`` may be a path to a checkpoint saved with
+    ``bayesian_torch_tpu.utils.checkpoint.save_checkpoint`` or None to
+    use ``det_model``'s in-memory parameters (the reference requires a
+    file; None is a convenience extension).
+    """
+    if det_checkpoint is not None:
+        from bayesian_torch_tpu.utils.checkpoint import load_checkpoint
+        load_checkpoint(det_model, det_checkpoint)
+
+    bayes_mods = [mod for _, mod in nnx.iter_modules(model)]
+    det_mods = [mod for _, mod in nnx.iter_modules(det_model)]
+
+    for layer, det_layer in zip(bayes_mods, det_mods):
+        rep = repr(layer)
+        if rep in (
+            "Conv1dReparameterization()", "Conv2dReparameterization()",
+            "Conv3dReparameterization()",
+            "ConvTranspose1dReparameterization()",
+            "ConvTranspose2dReparameterization()",
+            "ConvTranspose3dReparameterization()",
+            "Conv1dFlipout()", "Conv2dFlipout()", "Conv3dFlipout()",
+            "ConvTranspose1dFlipout()", "ConvTranspose2dFlipout()",
+            "ConvTranspose3dFlipout()",
+        ):
+            w = det_layer.weight[...]
+            layer.prior_weight_mu.set_value(w)  # scalar -> full array
+            if layer.prior_bias_mu is not None:
+                layer.prior_bias_mu.set_value(det_layer.bias[...])
+            layer.mu_kernel[...] = w
+            layer.rho_kernel[...] = get_rho(w, delta)
+            if layer.mu_bias is not None:
+                layer.mu_bias[...] = det_layer.bias[...]
+                layer.rho_bias[...] = get_rho(det_layer.bias[...], delta)
+        elif rep in ("LinearReparameterization()", "LinearFlipout()"):
+            w = det_layer.weight[...]
+            layer.prior_weight_mu.set_value(w)  # scalar -> full array
+            if layer.prior_bias_mu is not None:
+                layer.prior_bias_mu.set_value(det_layer.bias[...])
+            layer.mu_weight[...] = w
+            layer.rho_weight[...] = get_rho(w, delta)
+            if layer.mu_bias is not None:
+                layer.mu_bias[...] = det_layer.bias[...]
+                layer.rho_bias[...] = get_rho(det_layer.bias[...], delta)
+        elif rep.startswith("Batch"):
+            layer.weight[...] = det_layer.weight[...]
+            if layer.bias is not None:
+                layer.bias[...] = det_layer.bias[...]
+            layer.running_mean[...] = det_layer.running_mean[...]
+            layer.running_var[...] = det_layer.running_var[...]
+            layer.num_batches_tracked[...] = (
+                det_layer.num_batches_tracked[...])
+    return model
