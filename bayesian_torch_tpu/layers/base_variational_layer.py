@@ -82,6 +82,10 @@ class BaseVariationalLayer(nnx.Module):
 
     def __init__(self):
         self.dnn_to_bnn_flag = False
+        # When False, forward returns kl=0.0 without evaluating the
+        # closed-form KL (pure-inference fast path; kl_loss() itself is
+        # unaffected). Toggled statically by parallel.mc.mc_forward.
+        self.compute_kl = True
 
     def kl_div(self, mu_q, sigma_q, mu_p, sigma_p):
         """KL(Q||P) between diagonal Gaussians, mean-reduced over elements.

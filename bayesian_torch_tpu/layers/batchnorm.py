@@ -39,6 +39,11 @@ class _BatchNormNdLayer(nnx.Module):
         self.affine = affine
         self.track_running_stats = track_running_stats
         self.training = True
+        # When True, batch statistics are still used for normalization in
+        # training mode but running stats are NOT written. Set by
+        # parallel.mc.mc_forward during MC-vmapped runs, where mutating
+        # broadcast state under vmap is ill-defined.
+        self.stats_frozen = False
 
         if affine:
             # reference init: weight ~ U(0,1), bias = 0 (batchnorm.py:46-50)
@@ -79,7 +84,8 @@ class _BatchNormNdLayer(nnx.Module):
         if use_batch_stats:
             mean = jnp.mean(x, axis=reduce_axes)
             var = jnp.var(x, axis=reduce_axes)
-            if self.training and self.track_running_stats:
+            if (self.training and self.track_running_stats
+                    and not self.stats_frozen):
                 self.num_batches_tracked[...] = (
                     self.num_batches_tracked[...] + 1)
                 if self.momentum is None:

@@ -143,7 +143,7 @@ class _BaseConvLayer(BaseVariationalLayer):
                 eps_k=eps_k, eps_b=eps_b, **common)
 
         if return_kl:
-            return out, self.kl_loss()
+            return out, (self.kl_loss() if self.compute_kl else 0.0)
         return out
 
     def __repr__(self):

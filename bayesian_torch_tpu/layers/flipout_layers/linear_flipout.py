@@ -97,7 +97,7 @@ class LinearFlipout(BaseVariationalLayer):
             compute_dtype=self.compute_dtype)
 
         if return_kl:
-            return out, self.kl_loss()
+            return out, (self.kl_loss() if self.compute_kl else 0.0)
         return out
 
     def __repr__(self):

@@ -168,7 +168,7 @@ class _BaseLSTMLayer(BaseVariationalLayer):
         if return_kl:
             # Reference accumulates (kl_ih + kl_hh) each timestep
             # (rnn_variational.py:123-130); identical closed form:
-            kl = seq_size * self.kl_loss()
+            kl = (seq_size * self.kl_loss()) if self.compute_kl else 0.0
             return hidden_seq, (hidden_seq, c_ts), kl
         return hidden_seq, (hidden_seq, c_ts)
 

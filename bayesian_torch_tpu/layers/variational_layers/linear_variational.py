@@ -105,7 +105,7 @@ class LinearReparameterization(BaseVariationalLayer):
             eps_w=eps_w, eps_b=eps_b, compute_dtype=self.compute_dtype)
 
         if return_kl:
-            return out, self.kl_loss()
+            return out, (self.kl_loss() if self.compute_kl else 0.0)
         return out
 
     def __repr__(self):  # used by MOPED string matching in the reference

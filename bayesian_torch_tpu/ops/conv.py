@@ -151,6 +151,16 @@ def sampled_conv(x, key, mu_k, rho_k, mu_b=None, rho_b=None, *,
     Reference: conv_variational.py:357-380.
     """
     kw, kb = jax.random.split(key)
+    if compute_dtype is not None:
+        # sample directly in the compute dtype (see ops/linear.py)
+        mu_k, rho_k = mu_k.astype(compute_dtype), rho_k.astype(compute_dtype)
+        if mu_b is not None:
+            mu_b = mu_b.astype(compute_dtype)
+            rho_b = rho_b.astype(compute_dtype)
+        if eps_k is not None:
+            eps_k = eps_k.astype(compute_dtype)
+        if eps_b is not None:
+            eps_b = eps_b.astype(compute_dtype)
     w, _ = sample_gaussian_weight(kw, mu_k, rho_k, eps=eps_k)
     b = None
     if mu_b is not None:

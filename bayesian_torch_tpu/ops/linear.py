@@ -44,6 +44,17 @@ def sampled_linear(x, key, mu_w, rho_w, mu_b=None, rho_b=None, *,
     instead of per MC sample.
     """
     kw, kb = jax.random.split(key)
+    if compute_dtype is not None:
+        # sample directly in the compute dtype: halves the sampling
+        # traffic and feeds the GEMM without a separate cast pass
+        mu_w, rho_w = mu_w.astype(compute_dtype), rho_w.astype(compute_dtype)
+        if mu_b is not None:
+            mu_b = mu_b.astype(compute_dtype)
+            rho_b = rho_b.astype(compute_dtype)
+        if eps_w is not None:
+            eps_w = eps_w.astype(compute_dtype)
+        if eps_b is not None:
+            eps_b = eps_b.astype(compute_dtype)
     w, _ = sample_gaussian_weight(kw, mu_w, rho_w, eps=eps_w)
     b = None
     if mu_b is not None:

@@ -1,0 +1,115 @@
+"""Flagship benchmark: Bayesian ResNet-50 MC-inference throughput on TPU.
+
+Metric: images/sec/chip through the 10-MC-sample Bayesian ResNet-50
+(vmapped MC axis). vs_baseline: ratio against the "10x deterministic
+forward" cost model from BASELINE.json — a deterministic ResNet-50
+forward on 10 copies of each image, perfectly batched (value 1.0 =
+Bayesian sampling is free; north-star target >= 0.9).
+
+Measurement notes (this environment):
+- the tunneled TPU backend does NOT block in jax.block_until_ready, and
+  scalar fetches carry hundreds of ms of tunnel latency, so step time is
+  measured as a slope: (t(N2 steps) - t(N1 steps)) / (N2 - N1) with a
+  single scalar fetch per run;
+- functions are jax.jit over nnx-split state (nnx.jit's Python
+  graph-walk overhead would otherwise dominate);
+- inputs are random, not ones (XLA constant-folds all-ones convs).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+BATCH = 32
+NUM_MC = 10
+IMG = 224
+N1, N2 = 3, 13
+COMPUTE_DTYPE = jnp.bfloat16
+
+
+def _set_compute_dtype(model, dtype):
+    for _, mod in nnx.iter_modules(model):
+        if hasattr(mod, "compute_dtype"):
+            mod.compute_dtype = dtype
+
+
+def _step_time(fn, *args):
+    """Median-of-3 slope-method step time for an enqueued jitted fn that
+    returns a scalar."""
+    def run(n):
+        t0 = time.perf_counter()
+        for i in range(n):
+            r = fn(*args)
+        float(r)  # single blocking fetch
+        return time.perf_counter() - t0
+
+    run(2)  # compile + warm
+    ts = []
+    for _ in range(3):
+        t_small = run(N1)
+        t_big = run(N2)
+        ts.append((t_big - t_small) / (N2 - N1))
+    ts.sort()
+    return ts[1]
+
+
+def main():
+    from bayesian_torch_tpu.models.bayesian.resnet_variational_large import (
+        resnet50 as bayes_resnet50,
+    )
+    from bayesian_torch_tpu.models.deterministic.resnet_large import (
+        resnet50 as det_resnet50,
+    )
+    from bayesian_torch_tpu.parallel import mc_forward
+
+    x = jax.random.normal(jax.random.key(42), (BATCH, 3, IMG, IMG),
+                          jnp.float32)
+
+    # --- Bayesian: 10-MC vmapped forward -------------------------------
+    bayes = bayes_resnet50(rngs=nnx.Rngs(params=0, noise=1))
+    bayes.eval()
+    _set_compute_dtype(bayes, COMPUTE_DTYPE)
+    graphdef, state = nnx.split(bayes)
+
+    @jax.jit
+    def bayes_fwd(state, x):
+        model = nnx.merge(graphdef, state)
+        outs = mc_forward(model, x, NUM_MC, return_kl=False)
+        return outs.mean()
+
+    t_bayes = _step_time(bayes_fwd, state, x)
+    bayes_ips = BATCH / t_bayes
+
+    # --- Deterministic baseline: same effective batch (BATCH*NUM_MC) ---
+    det = det_resnet50(rngs=nnx.Rngs(params=0, noise=1))
+    det.eval()
+    _set_compute_dtype(det, COMPUTE_DTYPE)
+    det_graphdef, det_state = nnx.split(det)
+
+    @jax.jit
+    def det_fwd(state, x):
+        model = nnx.merge(det_graphdef, state)
+        return model(x).mean()
+
+    x_big = jax.random.normal(jax.random.key(43),
+                              (BATCH * NUM_MC, 3, IMG, IMG), jnp.float32)
+    t_det = _step_time(det_fwd, det_state, x_big)
+    det10_ips = BATCH / t_det
+
+    print(json.dumps({
+        "metric": "bayesian_resnet50_mc10_inference",
+        "value": round(bayes_ips, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(bayes_ips / det10_ips, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
