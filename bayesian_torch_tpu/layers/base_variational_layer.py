@@ -86,6 +86,16 @@ class BaseVariationalLayer(nnx.Module):
         # closed-form KL (pure-inference fast path; kl_loss() itself is
         # unaffected). Toggled statically by parallel.mc.mc_forward.
         self.compute_kl = True
+        # PTQ calibration mode: set by prepare(); forward then records
+        # activation/weight ranges into MinMax observers
+        # (reference linear_variational.py:121-129,180-190).
+        self.quant_prepare = False
+
+    def _make_observers(self, n_qint: int, n_quint: int):
+        from bayesian_torch_tpu.quantization.observers import MinMaxObserver
+        self.qint_quant = [MinMaxObserver("qint8") for _ in range(n_qint)]
+        self.quint_quant = [MinMaxObserver("quint8") for _ in range(n_quint)]
+        self.quant_prepare = True
 
     def kl_div(self, mu_q, sigma_q, mu_p, sigma_p):
         """KL(Q||P) between diagonal Gaussians, mean-reduced over elements.

@@ -116,10 +116,89 @@ class _BaseConvLayer(BaseVariationalLayer):
                                   self.prior_bias_sigma[...])
         return kl
 
+    def prepare(self):
+        """Insert PTQ calibration observers (reparam: 5 qint8 + 2 quint8,
+        conv_variational.py prepare; flipout: 4 qint8 + 8 quint8,
+        conv_flipout.py prepare)."""
+        if self.estimator == "flipout":
+            self._make_observers(4, 8)
+        else:
+            self._make_observers(5, 2)
+
+    def _conv_args(self):
+        return dict(stride=self.stride, padding=self.padding,
+                    output_padding=self.output_padding,
+                    dilation=self.dilation, groups=self.groups,
+                    data_format=self.data_format)
+
+    def _observed_forward(self, input):
+        """Calibration forward with every intermediate observed
+        (reference conv_variational.py:357-396 / conv_flipout.py:369-433)."""
+        import jax
+        from bayesian_torch_tpu.ops.conv import _apply_conv
+        from bayesian_torch_tpu.ops.sampling import sigma_from_rho
+
+        args = self._conv_args()
+        sigma = sigma_from_rho(self.rho_kernel[...])
+        eps = jax.random.normal(self.rngs.noise(), self.mu_kernel.shape)
+        if self.estimator == "flipout":
+            outputs = _apply_conv(
+                input, self.mu_kernel[...],
+                self.mu_bias[...] if self.mu_bias is not None else None,
+                self.transposed, compute_dtype=None, **args)
+            sign_in = jax.random.rademacher(self.rngs.noise(), input.shape,
+                                            input.dtype)
+            sign_out = jax.random.rademacher(self.rngs.noise(),
+                                             outputs.shape, outputs.dtype)
+            delta = sigma * eps
+            pert_bias = None
+            if self.mu_bias is not None:
+                sigma_b = sigma_from_rho(self.rho_bias[...])
+                eps_b = jax.random.normal(self.rngs.noise(),
+                                          self.mu_bias.shape)
+                pert_bias = sigma_b * eps_b
+            x_tmp = input * sign_in
+            pert_tmp = _apply_conv(x_tmp, delta, pert_bias, self.transposed,
+                                   compute_dtype=None, **args)
+            perturbed = pert_tmp * sign_out
+            out = outputs + perturbed
+
+            for ob, v in zip(self.quint_quant,
+                             (input, outputs, sign_in, sign_out, x_tmp,
+                              pert_tmp, perturbed, out)):
+                ob(v)
+            for ob, v in zip(self.qint_quant,
+                             (sigma, self.mu_kernel[...], eps, delta)):
+                ob(v)
+            return out
+
+        tmp_result = sigma * eps
+        weight = self.mu_kernel[...] + tmp_result
+        bias = None
+        if self.mu_bias is not None:
+            sigma_b = sigma_from_rho(self.rho_bias[...])
+            eps_b = jax.random.normal(self.rngs.noise(), self.mu_bias.shape)
+            bias = self.mu_bias[...] + sigma_b * eps_b
+        out = _apply_conv(input, weight, bias, self.transposed,
+                          compute_dtype=None, **args)
+        self.quint_quant[0](input)
+        self.quint_quant[1](out)
+        for ob, v in zip(self.qint_quant,
+                         (sigma, self.mu_kernel[...], eps, tmp_result,
+                          weight)):
+            ob(v)
+        return out
+
     def __call__(self, input, return_kl: bool = True, *,
                  eps_k=None, eps_b=None, sign_in=None, sign_out=None):
         if self.dnn_to_bnn_flag:
             return_kl = False
+
+        if self.quant_prepare:
+            out = self._observed_forward(input)
+            if return_kl:
+                return out, (self.kl_loss() if self.compute_kl else 0.0)
+            return out
 
         mu_b = self.mu_bias[...] if self.mu_bias is not None else None
         rho_b = self.rho_bias[...] if self.rho_bias is not None else None

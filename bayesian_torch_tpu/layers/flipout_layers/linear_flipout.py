@@ -82,10 +82,58 @@ class LinearFlipout(BaseVariationalLayer):
                                   self.prior_bias_sigma[...])
         return kl
 
+    def prepare(self):
+        """Insert PTQ calibration observers (reference
+        linear_flipout.py:114-120: 4 qint8 + 8 quint8)."""
+        self._make_observers(4, 8)
+
+    def _observed_forward(self, x):
+        """Calibration forward with intermediates observed
+        (reference linear_flipout.py:145-192)."""
+        import jax
+        from bayesian_torch_tpu.ops.linear import _linear
+        from bayesian_torch_tpu.ops.sampling import sigma_from_rho
+
+        sigma_weight = sigma_from_rho(self.rho_weight[...])
+        eps = jax.random.normal(self.rngs.noise(), self.mu_weight.shape)
+        delta_weight = sigma_weight * eps
+        pert_bias = None
+        mu_b = None
+        if self.mu_bias is not None:
+            mu_b = self.mu_bias[...]
+            sigma_b = sigma_from_rho(self.rho_bias[...])
+            eps_b = jax.random.normal(self.rngs.noise(), self.mu_bias.shape)
+            pert_bias = sigma_b * eps_b
+        outputs = _linear(x, self.mu_weight[...], mu_b)
+        sign_input = jax.random.rademacher(self.rngs.noise(), x.shape,
+                                           x.dtype)
+        sign_output = jax.random.rademacher(self.rngs.noise(),
+                                            outputs.shape, outputs.dtype)
+        x_tmp = x * sign_input
+        pert_tmp = _linear(x_tmp, delta_weight, pert_bias)
+        perturbed = pert_tmp * sign_output
+        out = outputs + perturbed
+
+        for ob, v in zip(self.quint_quant,
+                         (x, outputs, sign_input, sign_output, x_tmp,
+                          pert_tmp, perturbed, out)):
+            ob(v)
+        for ob, v in zip(self.qint_quant,
+                         (sigma_weight, self.mu_weight[...], eps,
+                          delta_weight)):
+            ob(v)
+        return out
+
     def __call__(self, x, return_kl: bool = True, *,
                  eps_w=None, eps_b=None, sign_in=None, sign_out=None):
         if self.dnn_to_bnn_flag:
             return_kl = False
+
+        if self.quant_prepare:
+            out = self._observed_forward(x)
+            if return_kl:
+                return out, (self.kl_loss() if self.compute_kl else 0.0)
+            return out
 
         mu_b = self.mu_bias[...] if self.mu_bias is not None else None
         rho_b = self.rho_bias[...] if self.rho_bias is not None else None

@@ -92,17 +92,51 @@ class LinearReparameterization(BaseVariationalLayer):
                                   self.prior_bias_mu[...], self.prior_bias_sigma[...])
         return kl
 
+    def prepare(self):
+        """Insert PTQ calibration observers (reference
+        linear_variational.py:123-129: 5 qint8 + 2 quint8 stubs)."""
+        self._make_observers(5, 2)
+
+    def _observed_forward(self, input):
+        """Calibration forward: explicit sampling math with every
+        intermediate observed (reference linear_variational.py:157-190)."""
+        import jax
+        from bayesian_torch_tpu.ops.sampling import sigma_from_rho
+
+        sigma_weight = sigma_from_rho(self.rho_weight[...])
+        eps = jax.random.normal(self.rngs.noise(), self.mu_weight.shape)
+        tmp_result = sigma_weight * eps
+        weight = self.mu_weight[...] + tmp_result
+        bias = None
+        if self.mu_bias is not None:
+            sigma_bias = sigma_from_rho(self.rho_bias[...])
+            eps_b = jax.random.normal(self.rngs.noise(), self.mu_bias.shape)
+            bias = self.mu_bias[...] + sigma_bias * eps_b
+        out = linear_ops._linear(input, weight, bias)
+
+        self.quint_quant[0](input)
+        self.quint_quant[1](out)
+        self.qint_quant[0](sigma_weight)
+        self.qint_quant[1](self.mu_weight[...])
+        self.qint_quant[2](eps)
+        self.qint_quant[3](tmp_result)
+        self.qint_quant[4](weight)
+        return out
+
     def __call__(self, input, return_kl: bool = True, *, eps_w=None, eps_b=None):
         if self.dnn_to_bnn_flag:
             return_kl = False
 
-        mu_b = self.mu_bias[...] if self.mu_bias is not None else None
-        rho_b = self.rho_bias[...] if self.rho_bias is not None else None
+        if self.quant_prepare:
+            out = self._observed_forward(input)
+        else:
+            mu_b = self.mu_bias[...] if self.mu_bias is not None else None
+            rho_b = self.rho_bias[...] if self.rho_bias is not None else None
 
-        out = linear_ops.sampled_linear(
-            input, self.rngs.noise(),
-            self.mu_weight[...], self.rho_weight[...], mu_b, rho_b,
-            eps_w=eps_w, eps_b=eps_b, compute_dtype=self.compute_dtype)
+            out = linear_ops.sampled_linear(
+                input, self.rngs.noise(),
+                self.mu_weight[...], self.rho_weight[...], mu_b, rho_b,
+                eps_w=eps_w, eps_b=eps_b, compute_dtype=self.compute_dtype)
 
         if return_kl:
             return out, (self.kl_loss() if self.compute_kl else 0.0)

@@ -42,6 +42,11 @@ def _dim_numbers(nd: int, data_format: str = "NCHW") -> Tuple[str, str, str]:
     return (act, "OI" + spatial, act)
 
 
+def _accum_dtype(x):
+    # int8 operands accumulate in int32 on the MXU; floats in fp32
+    return jnp.int32 if jnp.issubdtype(x.dtype, jnp.integer) else jnp.float32
+
+
 def _bias_shape(nd: int, data_format: str) -> Tuple[int, ...]:
     if data_format.endswith("C"):
         return (1,) * (nd + 1) + (-1,)
@@ -73,7 +78,7 @@ def conv_nd(x, w, b=None, *, stride=1, padding=0, dilation=1, groups=1,
         rhs_dilation=dilation,
         dimension_numbers=_dim_numbers(nd, data_format),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_accum_dtype(x),
     )
     if b is not None:
         out = out + b.astype(out.dtype).reshape(_bias_shape(nd, data_format))
@@ -123,7 +128,7 @@ def conv_transpose_nd(x, w, b=None, *, stride=1, padding=0,
         rhs_dilation=dilation,
         dimension_numbers=_dim_numbers(nd, data_format),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_accum_dtype(x),
     )
     if b is not None:
         out = out + b.astype(out.dtype).reshape(_bias_shape(nd, data_format))

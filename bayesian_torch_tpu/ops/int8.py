@@ -1,0 +1,124 @@
+"""INT8 quantized ops (K4 of SURVEY.md §2.4): sampled-GEMM/conv on the
+MXU's native int8 path.
+
+Replaces the reference's oneDNN delegation
+(torch.ops.quantized.mul/add + torch.nn.quantized.functional.linear,
+quantize_linear_variational.py:172-189) with XLA int8 dot/conv
+(s8 x s8 -> s32 accumulate) plus explicit requantization arithmetic.
+
+Conventions mirror the reference:
+- weights: symmetric per-tensor int8, zero_point=0,
+  scale = 2*clamp(max|x|, 0, 100)/255 (quantize_linear_variational.py
+  :58-107), default_scale fallback when the tensor is all-zero;
+- activations: affine uint8 (stored as uint8, zero_point typically 128);
+- bias: fp32, never quantized.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def symmetric_scale(x, upper_bound=100.0, target_range=255.0,
+                    default_scale=0.1):
+    """Reference scale rule: 2*clamp(max|x|,0,upper)/range, 0 -> default."""
+    xmax = jnp.clip(jnp.max(jnp.abs(x)), 0.0, upper_bound)
+    scale = xmax * 2.0 / target_range
+    return jnp.where(scale == 0, default_scale, scale)
+
+
+def quantize_int8(x, scale):
+    """Symmetric int8 (zero_point = 0)."""
+    q = jnp.round(x / scale)
+    return jnp.clip(q, -128, 127).astype(jnp.int8)
+
+
+def quantize_uint8(x, scale, zero_point):
+    q = jnp.round(x / scale) + zero_point
+    return jnp.clip(q, 0, 255).astype(jnp.uint8)
+
+
+def dequantize(q, scale, zero_point=0):
+    return (q.astype(jnp.float32) - zero_point) * scale
+
+
+def requantize_int8(acc_f32, out_scale, out_zp=0):
+    q = jnp.round(acc_f32 / out_scale) + out_zp
+    return jnp.clip(q, -128, 127).astype(jnp.int8)
+
+
+def _clip_range(dtype):
+    return (0, 255) if dtype == jnp.uint8 else (-128, 127)
+
+
+def qmul(a_q, a_scale, b_q, b_scale, out_scale, out_zp=0, *,
+         a_zp=0, b_zp=0, out_dtype=jnp.int8):
+    """torch.ops.quantized.mul equivalent:
+    out_q = clamp(round(a_deq * b_deq / out_scale) + out_zp)."""
+    a_c = a_q.astype(jnp.int32) - jnp.int32(a_zp)
+    b_c = b_q.astype(jnp.int32) - jnp.int32(b_zp)
+    prod = (a_c * b_c).astype(jnp.float32) * (a_scale * b_scale)
+    lo, hi = _clip_range(out_dtype)
+    q = jnp.round(prod / out_scale) + out_zp
+    return jnp.clip(q, lo, hi).astype(out_dtype)
+
+
+def qadd(a_q, a_scale, b_q, b_scale, out_scale, out_zp=0, *,
+         a_zp=0, b_zp=0, out_dtype=jnp.int8):
+    """torch.ops.quantized.add equivalent."""
+    s = ((a_q.astype(jnp.float32) - a_zp) * a_scale
+         + (b_q.astype(jnp.float32) - b_zp) * b_scale)
+    lo, hi = _clip_range(out_dtype)
+    q = jnp.round(s / out_scale) + out_zp
+    return jnp.clip(q, lo, hi).astype(out_dtype)
+
+
+def qlinear(x_q, x_scale, x_zp, w_q, w_scale, bias_f32, out_scale, out_zp):
+    """uint8 activation x int8 weight -> uint8 activation.
+
+    int8 dot with s32 accumulation on the MXU; bias fp32; requantize to
+    the calibrated output scale. Matches
+    torch.nn.quantized.functional.linear semantics.
+    """
+    x_c = (x_q.astype(jnp.int32) - jnp.int32(x_zp)).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_c, w_q,
+        dimension_numbers=(((x_q.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (x_scale * w_scale)
+    if bias_f32 is not None:
+        out = out + bias_f32
+    q = jnp.round(out / out_scale) + out_zp
+    return jnp.clip(q, 0, 255).astype(jnp.uint8)
+
+
+def qconv(x_q, x_scale, x_zp, w_q, w_scale, bias_f32, out_scale, out_zp, *,
+          stride=1, padding=0, dilation=1, groups=1, transposed=False,
+          output_padding=0, data_format="NCHW"):
+    """uint8 activation x int8 kernel conv -> uint8 activation."""
+    from bayesian_torch_tpu.ops.conv import (_apply_conv)
+
+    x_c = (x_q.astype(jnp.int32) - jnp.int32(x_zp)).astype(jnp.int8)
+    # lax conv on int8 with int32 accumulation
+    nd = x_q.ndim - 2
+    from bayesian_torch_tpu.ops import conv as conv_ops
+    if transposed:
+        acc = conv_ops.conv_transpose_nd(
+            x_c, w_q, None, stride=stride, padding=padding,
+            output_padding=output_padding, dilation=dilation,
+            groups=groups, data_format=data_format,
+            compute_dtype=None)
+    else:
+        acc = conv_ops.conv_nd(
+            x_c, w_q, None, stride=stride, padding=padding,
+            dilation=dilation, groups=groups, data_format=data_format,
+            compute_dtype=None)
+    out = acc.astype(jnp.float32) * (x_scale * w_scale)
+    if bias_f32 is not None:
+        shape = ((1, -1) + (1,) * nd) if not data_format.endswith("C") \
+            else ((1,) * (nd + 1) + (-1,))
+        out = out + bias_f32.reshape(shape)
+    q = jnp.round(out / out_scale) + out_zp
+    return jnp.clip(q, 0, 255).astype(jnp.uint8)

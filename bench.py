@@ -24,8 +24,14 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
-from flax import nnx
+
+# persistent compile cache: the MC10 ResNet-50 HLO takes minutes to
+# compile cold; warm runs load from cache in seconds
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp  # noqa: E402
+from flax import nnx  # noqa: E402
 
 BATCH = 32
 NUM_MC = 10
