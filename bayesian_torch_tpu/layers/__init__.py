@@ -15,3 +15,25 @@ from bayesian_torch_tpu.layers.batchnorm import (  # noqa: F401
 )
 from bayesian_torch_tpu.layers.dropout import Dropout  # noqa: F401
 from bayesian_torch_tpu.layers.relu import ReLU  # noqa: F401
+from bayesian_torch_tpu.layers.variational_layers.quantize_linear_variational import (  # noqa: F401
+    QuantizedLinearReparameterization,
+)
+from bayesian_torch_tpu.layers.variational_layers.quantize_conv_variational import (  # noqa: F401,E501
+    QuantizedConv1dReparameterization,
+    QuantizedConv2dReparameterization,
+    QuantizedConv3dReparameterization,
+    QuantizedConvTranspose1dReparameterization,
+    QuantizedConvTranspose2dReparameterization,
+    QuantizedConvTranspose3dReparameterization,
+)
+from bayesian_torch_tpu.layers.flipout_layers.quantized_linear_flipout import (  # noqa: F401
+    QuantizedLinearFlipout,
+)
+from bayesian_torch_tpu.layers.flipout_layers.quantized_conv_flipout import (  # noqa: F401
+    QuantizedConv1dFlipout,
+    QuantizedConv2dFlipout,
+    QuantizedConv3dFlipout,
+    QuantizedConvTranspose1dFlipout,
+    QuantizedConvTranspose2dFlipout,
+    QuantizedConvTranspose3dFlipout,
+)

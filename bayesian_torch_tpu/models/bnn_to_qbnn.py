@@ -1,0 +1,176 @@
+"""BNN -> INT8 QBNN model surgery.
+
+Counterpart of reference bayesian_torch/models/bnn_to_qbnn.py:45-259:
+walks the nnx module graph and replaces Bayesian layers with their
+``Quantized<Name>`` twins, harvesting calibration scales/zero-points
+from the observers inserted by ``prepare()`` into each layer's
+``quant_dict`` (same ordering: qint[2:] + quint, bnn_to_qbnn.py:105-111),
+then calls ``quantize()``. Optional conv+BN folding follows the same
+conv1/bn1/.../downsample naming conventions (:212-229).
+"""
+
+from __future__ import annotations
+
+from flax import nnx
+
+import bayesian_torch_tpu.layers as bayesian_layers
+from bayesian_torch_tpu.layers.base_variational_layer import (
+    BaseVariationalLayer,
+)
+from bayesian_torch_tpu.nn.modules import Identity
+
+
+def _harvest_quant_dict(d):
+    """quant_dict = qint observers [2:] + quint observers, as
+    (scale, zero_point) dicts (reference bnn_to_qbnn.py:105-111)."""
+    if not getattr(d, "quant_prepare", False):
+        return None
+    qd = []
+    for ob in list(d.qint_quant)[2:] + list(d.quint_quant):
+        scale, zp = ob.calculate_qparams()
+        qd.append({"scale": scale, "zero_point": zp})
+    return qd
+
+
+def _copy_layer_state(qbnn_layer, d):
+    """Transfer posteriors/flags from the float Bayesian layer (the
+    reference does a __dict__.update; explicit copies keep the nnx
+    graph sane)."""
+    for attr in ("mu_weight", "rho_weight", "mu_kernel", "rho_kernel",
+                 "mu_bias", "rho_bias"):
+        if getattr(d, attr, None) is not None:
+            setattr(qbnn_layer, attr, getattr(d, attr))
+    qbnn_layer.bias = getattr(d, "mu_bias", None) is not None
+    qbnn_layer.quant_dict = _harvest_quant_dict(d)
+    qbnn_layer.rngs = d.rngs
+
+
+def qbnn_linear_layer(d):
+    layer_fn = getattr(bayesian_layers, "Quantized" + type(d).__name__)
+    qbnn_layer = layer_fn(in_features=d.in_features,
+                          out_features=d.out_features)
+    _copy_layer_state(qbnn_layer, d)
+    qbnn_layer.quantize()
+    if d.dnn_to_bnn_flag:
+        qbnn_layer.dnn_to_bnn_flag = True
+    return qbnn_layer
+
+
+def qbnn_conv_layer(d):
+    layer_fn = getattr(bayesian_layers, "Quantized" + type(d).__name__)
+    qbnn_layer = layer_fn(
+        in_channels=d.in_channels,
+        out_channels=d.out_channels,
+        kernel_size=d.kernel_size,
+        stride=d.stride,
+        padding=d.padding,
+        dilation=d.dilation,
+        groups=d.groups,
+        output_padding=getattr(d, "output_padding", 0),
+        data_format=getattr(d, "data_format", "NCHW"),
+    )
+    _copy_layer_state(qbnn_layer, d)
+    qbnn_layer.quantize()
+    if d.dnn_to_bnn_flag:
+        qbnn_layer.dnn_to_bnn_flag = True
+    return qbnn_layer
+
+
+def qbnn_lstm_layer(d):
+    """LSTM quantization: quantize the ih/hh linear blocks in place.
+
+    The reference looks up a QuantizedLSTM* class that does not exist in
+    its layer registry (bnn_to_qbnn.py:147-156 would raise) — here the
+    cell's two linear sublayers are int8-quantized instead, which is the
+    semantically equivalent (and actually working) behavior.
+    """
+    d.ih = qbnn_linear_layer(d.ih)
+    d.hh = qbnn_linear_layer(d.hh)
+    return d
+
+
+def batch_norm_folding(conv, bn):
+    """Fold a BatchNorm's affine+stats into the quantized conv twin
+    (reference bnn_to_qbnn.py:174-195)."""
+    layer_fn = getattr(bayesian_layers, "Quantized" + type(conv).__name__)
+    qbnn_layer = layer_fn(
+        in_channels=conv.in_channels,
+        out_channels=conv.out_channels,
+        kernel_size=conv.kernel_size,
+        stride=conv.stride,
+        padding=conv.padding,
+        dilation=conv.dilation,
+        groups=conv.groups,
+        output_padding=getattr(conv, "output_padding", 0),
+        data_format=getattr(conv, "data_format", "NCHW"),
+    )
+    _copy_layer_state(qbnn_layer, conv)
+    qbnn_layer.bn_weight = bn.weight
+    qbnn_layer.bn_bias = bn.bias
+    qbnn_layer.bn_running_mean = bn.running_mean
+    qbnn_layer.bn_running_var = bn.running_var
+    qbnn_layer.bn_eps = bn.eps
+    qbnn_layer.quantize()
+    if conv.dnn_to_bnn_flag:
+        qbnn_layer.dnn_to_bnn_flag = True
+    return qbnn_layer
+
+
+def _children(m):
+    return {name: v for name, v in vars(m).items()
+            if isinstance(v, nnx.Module)}
+
+
+def bnn_to_qbnn(m, fuse_conv_bn: bool = False):
+    """In-place surgery: Bayesian layers -> Quantized twins.
+
+    Mirrors reference bnn_to_qbnn.py:198-237 including the conv+BN
+    fusion driven by conv1/bn1..conv3/bn3 and downsample=[conv, bn]
+    naming conventions.
+    """
+    children = _children(m)
+    for name, value in children.items():
+        cls_name = type(value).__name__
+        if cls_name.startswith("Quantized"):
+            continue
+        grand = _children(value)
+        is_bayes_lstm = "LSTM" in cls_name and isinstance(
+            value, BaseVariationalLayer)
+        if grand and not is_bayes_lstm:
+            if "Conv" in cls_name and isinstance(value,
+                                                 BaseVariationalLayer):
+                setattr(m, name, qbnn_conv_layer(value))
+            elif "Linear" in cls_name and isinstance(value,
+                                                     BaseVariationalLayer):
+                setattr(m, name, qbnn_linear_layer(value))
+            else:
+                bnn_to_qbnn(value, fuse_conv_bn=fuse_conv_bn)
+        elif "Linear" in cls_name and isinstance(value,
+                                                 BaseVariationalLayer):
+            setattr(m, name, qbnn_linear_layer(value))
+        elif is_bayes_lstm:
+            setattr(m, name, qbnn_lstm_layer(value))
+        elif "Conv" in cls_name and isinstance(value,
+                                               BaseVariationalLayer):
+            if not fuse_conv_bn:
+                setattr(m, name, qbnn_conv_layer(value))
+            # fused convs are handled below via naming conventions
+
+    if fuse_conv_bn:
+        children = _children(m)
+        for i in ("1", "2", "3"):
+            cname, bname = f"conv{i}", f"bn{i}"
+            if cname in children and bname in children:
+                conv, bn = children[cname], children[bname]
+                if (isinstance(conv, BaseVariationalLayer)
+                        and "Identity" not in type(bn).__name__):
+                    setattr(m, cname, batch_norm_folding(conv, bn))
+                    setattr(m, bname, Identity())
+        ds = getattr(m, "downsample", None)
+        if ds is not None and type(ds).__name__ == "Sequential" \
+                and len(ds) == 2:
+            if (isinstance(ds[0], BaseVariationalLayer)
+                    and "Identity" not in type(ds[1]).__name__):
+                ds._0 = batch_norm_folding(ds[0], ds[1])
+                ds._1 = Identity()
+    return

@@ -80,13 +80,21 @@ def qlinear(x_q, x_scale, x_zp, w_q, w_scale, bias_f32, out_scale, out_zp):
     int8 dot with s32 accumulation on the MXU; bias fp32; requantize to
     the calibrated output scale. Matches
     torch.nn.quantized.functional.linear semantics.
+
+    The activation is re-centered as (x_q - 128), which always fits
+    int8, and the constant (128 - zp) shift is restored through a
+    per-output correction using the weight column sums — this keeps
+    both GEMM operands int8 for the MXU instead of upcasting.
     """
-    x_c = (x_q.astype(jnp.int32) - jnp.int32(x_zp)).astype(jnp.int8)
+    x_c = (x_q.astype(jnp.int32) - 128).astype(jnp.int8)
     acc = jax.lax.dot_general(
         x_c, w_q,
         dimension_numbers=(((x_q.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
+    # sum w (x_q - zp) = sum w (x_q - 128) + (128 - zp) * sum w
+    w_colsum = jnp.sum(w_q.astype(jnp.int32), axis=1)
+    acc = acc + (128 - jnp.int32(x_zp)) * w_colsum
     out = acc.astype(jnp.float32) * (x_scale * w_scale)
     if bias_f32 is not None:
         out = out + bias_f32
@@ -97,24 +105,33 @@ def qlinear(x_q, x_scale, x_zp, w_q, w_scale, bias_f32, out_scale, out_zp):
 def qconv(x_q, x_scale, x_zp, w_q, w_scale, bias_f32, out_scale, out_zp, *,
           stride=1, padding=0, dilation=1, groups=1, transposed=False,
           output_padding=0, data_format="NCHW"):
-    """uint8 activation x int8 kernel conv -> uint8 activation."""
-    from bayesian_torch_tpu.ops.conv import (_apply_conv)
+    """uint8 activation x int8 kernel conv -> uint8 activation.
 
-    x_c = (x_q.astype(jnp.int32) - jnp.int32(x_zp)).astype(jnp.int8)
-    # lax conv on int8 with int32 accumulation
+    Activations are re-centered as (x_q - 128) so both conv operands are
+    int8 for the MXU; the (128 - zp) shift is restored with a
+    "ones-conv" correction, which is exact including zero-padded borders
+    (padding represents the real value 0, i.e. quantized zp, exactly as
+    torch's quantized conv pads with zp).
+    """
     nd = x_q.ndim - 2
     from bayesian_torch_tpu.ops import conv as conv_ops
-    if transposed:
-        acc = conv_ops.conv_transpose_nd(
-            x_c, w_q, None, stride=stride, padding=padding,
-            output_padding=output_padding, dilation=dilation,
-            groups=groups, data_format=data_format,
-            compute_dtype=None)
-    else:
-        acc = conv_ops.conv_nd(
-            x_c, w_q, None, stride=stride, padding=padding,
+
+    def _conv(x, w):
+        if transposed:
+            return conv_ops.conv_transpose_nd(
+                x, w, None, stride=stride, padding=padding,
+                output_padding=output_padding, dilation=dilation,
+                groups=groups, data_format=data_format, compute_dtype=None)
+        return conv_ops.conv_nd(
+            x, w, None, stride=stride, padding=padding,
             dilation=dilation, groups=groups, data_format=data_format,
             compute_dtype=None)
+
+    x_c = (x_q.astype(jnp.int32) - 128).astype(jnp.int8)
+    acc = _conv(x_c, w_q)
+    # border-exact correction: sum_valid w * (128 - zp)
+    ones = jnp.ones_like(x_c)
+    acc = acc + (128 - jnp.int32(x_zp)) * _conv(ones, w_q)
     out = acc.astype(jnp.float32) * (x_scale * w_scale)
     if bias_f32 is not None:
         shape = ((1, -1) + (1,) * nd) if not data_format.endswith("C") \

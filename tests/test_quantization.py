@@ -1,0 +1,252 @@
+"""INT8 quantization: ops parity vs torch quantized kernels, scale-rule
+parity, prepare/calibrate/convert round trip, BN folding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+import bayesian_torch_tpu.layers as L
+from bayesian_torch_tpu.ops import int8 as q
+from tests import reference_oracle as oracle
+
+torch = pytest.importorskip("torch")
+
+
+class TestInt8Ops:
+    def test_symmetric_scale_rule_matches_reference(self):
+        x = jnp.asarray(np.random.RandomState(0).randn(10, 10) * 3)
+        # reference: scale = 2*clamp(max|x|,0,100)/255
+        expected = float(np.clip(np.abs(np.asarray(x)).max(), 0, 100)) \
+            * 2 / 255
+        assert float(q.symmetric_scale(x)) == pytest.approx(expected,
+                                                            rel=1e-6)
+        assert float(q.symmetric_scale(jnp.zeros((3,)))) == pytest.approx(
+            0.1)  # default fallback
+
+    def test_quantize_dequantize_roundtrip(self):
+        x = jnp.asarray(np.random.RandomState(1).randn(64).astype(
+            np.float32))
+        scale = q.symmetric_scale(x)
+        xq = q.quantize_int8(x, scale)
+        np.testing.assert_allclose(np.asarray(q.dequantize(xq, scale)),
+                                   np.asarray(x), atol=float(scale))
+
+    def test_qlinear_matches_torch_quantized(self):
+        rs = np.random.RandomState(2)
+        x = rs.randn(4, 8).astype(np.float32)
+        w = rs.randn(5, 8).astype(np.float32) * 0.5
+        b = rs.randn(5).astype(np.float32)
+
+        x_scale, x_zp = 0.05, 128
+        w_scale = float(q.symmetric_scale(jnp.asarray(w)))
+        out_scale, out_zp = 0.1, 128
+
+        xq = q.quantize_uint8(jnp.asarray(x), x_scale, x_zp)
+        wq = q.quantize_int8(jnp.asarray(w), w_scale)
+        ours_q = q.qlinear(xq, x_scale, x_zp, wq, w_scale, jnp.asarray(b),
+                           out_scale, out_zp)
+        ours = np.asarray(q.dequantize(ours_q, out_scale, out_zp))
+
+        tx = torch.quantize_per_tensor(torch.from_numpy(x), x_scale, x_zp,
+                                       torch.quint8)
+        tw = torch.quantize_per_tensor(torch.from_numpy(w), w_scale, 0,
+                                       torch.qint8)
+        ref = torch.nn.quantized.functional.linear(
+            tx, tw, torch.from_numpy(b), scale=out_scale,
+            zero_point=out_zp).dequantize().numpy()
+        # identical math up to rounding-mode differences: 1 quantum
+        np.testing.assert_allclose(ours, ref, atol=out_scale + 1e-6)
+
+    def test_qmul_qadd_match_torch(self):
+        rs = np.random.RandomState(3)
+        a = rs.randn(32).astype(np.float32)
+        b = rs.randn(32).astype(np.float32)
+        a_s, b_s, o_s = 0.02, 0.03, 0.01
+        aq = q.quantize_int8(jnp.asarray(a), a_s)
+        bq = q.quantize_int8(jnp.asarray(b), b_s)
+
+        ta = torch.quantize_per_tensor(torch.from_numpy(a), a_s, 0,
+                                       torch.qint8)
+        tb = torch.quantize_per_tensor(torch.from_numpy(b), b_s, 0,
+                                       torch.qint8)
+        ref_mul = torch.ops.quantized.mul(ta, tb, o_s, 0).dequantize()
+        ours_mul = q.dequantize(q.qmul(aq, a_s, bq, b_s, o_s, 0), o_s)
+        np.testing.assert_allclose(np.asarray(ours_mul), ref_mul.numpy(),
+                                   atol=o_s + 1e-6)
+
+        ref_add = torch.ops.quantized.add(ta, tb, o_s, 0).dequantize()
+        ours_add = q.dequantize(q.qadd(aq, a_s, bq, b_s, o_s, 0), o_s)
+        np.testing.assert_allclose(np.asarray(ours_add), ref_add.numpy(),
+                                   atol=o_s + 1e-6)
+
+
+class TestQuantizedLayers:
+    def _float_linear(self, rho=-6.0):
+        return L.LinearReparameterization(
+            16, 8, posterior_rho_init=rho, rngs=nnx.Rngs(params=0, noise=1))
+
+    def test_convert_roundtrip_close_to_float_mean(self):
+        from bayesian_torch_tpu.quantization import convert, prepare
+
+        class Net(nnx.Module):
+            def __init__(self, fc):
+                self.fc = fc
+
+            def __call__(self, x):
+                return self.fc(x)
+
+        net = Net(self._float_linear(rho=-10.0))  # tiny sigma
+        x = jnp.asarray(np.random.RandomState(0).randn(32, 16)
+                        .astype(np.float32))
+        mu_fwd = np.asarray(x) @ np.asarray(net.fc.mu_weight[...]).T \
+            + np.asarray(net.fc.mu_bias[...])
+
+        prepare(net)
+        for i in range(3):  # calibration
+            net(x + 0.1 * i)
+        convert(net)
+
+        assert type(net.fc).__name__ == "QuantizedLinearReparameterization"
+        assert net.fc.quantized_mu_weight[...].dtype == jnp.int8
+        out, kl = net.fc(x)
+        assert kl == 0
+        # int8 mean path within a few quanta of the float mu forward
+        err = np.abs(np.asarray(out) - mu_fwd)
+        scale = float(net.fc.quant_dict[4]["scale"])
+        assert err.mean() < 3 * scale
+
+    def test_uncalibrated_default_path_runs(self):
+        fc = self._float_linear()
+        qfc = L.QuantizedLinearReparameterization(16, 8)
+        from bayesian_torch_tpu.models.bnn_to_qbnn import _copy_layer_state
+        _copy_layer_state(qfc, fc)
+        qfc.quantize()
+        out, kl = qfc(jnp.ones((2, 16)))
+        assert out.shape == (2, 8)
+
+    def test_flipout_quantized_runs(self):
+        from bayesian_torch_tpu.models.bnn_to_qbnn import qbnn_linear_layer
+
+        fc = L.LinearFlipout(16, 8, rngs=nnx.Rngs(params=0, noise=1))
+        fc.prepare()
+        x = jnp.asarray(np.random.RandomState(1).randn(4, 16)
+                        .astype(np.float32))
+        fc(x)
+        qfc = qbnn_linear_layer(fc)
+        out, kl = qfc(x)
+        assert out.shape == (4, 8)
+        assert kl == 0
+
+    def test_quantized_conv_runs(self):
+        from bayesian_torch_tpu.models.bnn_to_qbnn import qbnn_conv_layer
+
+        conv = L.Conv2dReparameterization(
+            3, 8, 3, padding=1, posterior_rho_init=-8.0,
+            rngs=nnx.Rngs(params=0, noise=1))
+        conv.prepare()
+        x = jnp.asarray(np.random.RandomState(2).randn(2, 3, 8, 8)
+                        .astype(np.float32))
+        conv(x)
+        qconv = qbnn_conv_layer(conv)
+        out, kl = qconv(x)
+        assert out.shape == (2, 8, 8, 8)
+
+
+class TestBNFolding:
+    def test_fold_matches_float_conv_bn(self):
+        from bayesian_torch_tpu.models.bnn_to_qbnn import batch_norm_folding
+        import bayesian_torch_tpu.nn as dnn
+
+        conv = L.Conv2dReparameterization(
+            3, 4, 3, padding=1, bias=False, posterior_rho_init=-12.0,
+            rngs=nnx.Rngs(params=0, noise=1))
+        bn = dnn.BatchNorm2d(4)
+        # give bn non-trivial stats/affine
+        bn.weight[...] = jnp.asarray([1.0, 2.0, 0.5, 1.5])
+        bn.bias[...] = jnp.asarray([0.1, -0.2, 0.3, 0.0])
+        bn.running_mean[...] = jnp.asarray([0.5, -0.5, 0.0, 1.0])
+        bn.running_var[...] = jnp.asarray([1.0, 2.0, 0.5, 1.2])
+        bn.eval()
+        conv.prepare()
+        x = jnp.asarray(np.random.RandomState(3).randn(2, 3, 6, 6)
+                        .astype(np.float32))
+        conv(x)  # calibrate
+
+        # float reference: conv(mu-only) then eval BN
+        float_out = bn(conv(x, eps_k=jnp.zeros(conv.mu_kernel.shape))[0])
+
+        mu_before = np.asarray(conv.mu_kernel[...])
+        qconv = batch_norm_folding(conv, bn)
+
+        # 1) folding math: dequantized mu == mu * gamma/sqrt(var+eps)
+        #    within one int8 quantum
+        coef = np.asarray(bn.weight[...]) / np.sqrt(
+            np.asarray(bn.running_var[...]) + bn.eps)
+        expected_mu = mu_before * coef.reshape(-1, 1, 1, 1)
+        deq_mu = (np.asarray(qconv.quantized_mu_weight[...], np.float32)
+                  * float(qconv.mu_weight_scale[...]))
+        np.testing.assert_allclose(deq_mu, expected_mu,
+                                   atol=float(qconv.mu_weight_scale[...]))
+
+        # 2) fp32 folded bias is exact: (0 - mean)*coef + beta (no conv bias)
+        expected_bias = (-np.asarray(bn.running_mean[...])) * coef \
+            + np.asarray(bn.bias[...])
+        np.testing.assert_allclose(
+            np.asarray(qconv.quantized_mu_bias[...]), expected_bias,
+            rtol=1e-5)
+        assert qconv.quantized_sigma_bias is None  # bias-from-fusion marker
+
+        # 3) end-to-end: int8 folded forward tracks float conv+BN within
+        #    accumulated quantization error (weights + activations)
+        out, _ = qconv(x)
+        err = np.abs(np.asarray(out) - np.asarray(float_out))
+        assert err.mean() < 0.3
+
+
+class TestFullModelPTQ:
+    def test_scnn_int8_fidelity(self):
+        """End-to-end PTQ fidelity: with near-zero sigma the int8 model
+        must track the float model closely (regression test for the
+        uint8 zero-point re-centering in qlinear/qconv)."""
+        import bayesian_torch_tpu.models._scnn as scnn_mod
+        from bayesian_torch_tpu.quantization import convert, prepare
+
+        old = scnn_mod.posterior_rho_init
+        try:
+            scnn_mod.posterior_rho_init = -10.0
+            from bayesian_torch_tpu.models.bayesian.simple_cnn_variational \
+                import SCNN
+            m = SCNN(rngs=nnx.Rngs(params=0, noise=1))
+            m.eval()
+            x = jnp.asarray(np.random.RandomState(0)
+                            .randn(8, 1, 28, 28).astype(np.float32))
+            f_out, _ = m(x)
+            prepare(m)
+            m(x)
+            convert(m)
+            q_out, _ = m(x)
+            corr = float(jnp.corrcoef(f_out.ravel(), q_out.ravel())[0, 1])
+            assert corr > 0.99
+            assert float((f_out.argmax(1) == q_out.argmax(1)).mean()) == 1.0
+        finally:
+            scnn_mod.posterior_rho_init = old
+
+    def test_scnn_prepare_calibrate_convert(self):
+        from bayesian_torch_tpu.models.bayesian.simple_cnn_variational \
+            import SCNN
+        from bayesian_torch_tpu.quantization import convert, prepare
+
+        m = SCNN(rngs=nnx.Rngs(params=0, noise=1))
+        m.eval()
+        x = jnp.asarray(np.random.RandomState(4).randn(2, 1, 28, 28)
+                        .astype(np.float32))
+        prepare(m)
+        m(x)
+        convert(m)
+        assert type(m.conv1).__name__ == "QuantizedConv2dReparameterization"
+        assert type(m.fc2).__name__ == "QuantizedLinearReparameterization"
+        out, kl = m(x)
+        assert out.shape == (2, 10)
+        assert np.isfinite(np.asarray(out)).all()
