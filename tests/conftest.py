@@ -13,6 +13,8 @@ os.environ["XLA_FLAGS"] = (
     + " --xla_force_host_platform_device_count=8"
 ).strip()
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("BTT_SYNTH_TRAIN_N", "512")
+os.environ.setdefault("BTT_SYNTH_TEST_N", "256")
 
 import jax  # noqa: E402
 
