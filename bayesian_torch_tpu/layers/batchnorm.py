@@ -82,8 +82,12 @@ class _BatchNormNdLayer(nnx.Module):
 
         use_batch_stats = self.training or not self.track_running_stats
         if use_batch_stats:
-            mean = jnp.mean(x, axis=reduce_axes)
-            var = jnp.var(x, axis=reduce_axes)
+            # stats accumulate in fp32 even for bf16 activations (the
+            # reduction reads bf16 and accumulates f32 — no extra pass)
+            mean = jnp.mean(x, axis=reduce_axes, dtype=jnp.float32)
+            var = jnp.mean(
+                jnp.square(x.astype(jnp.float32)), axis=reduce_axes,
+            ) - jnp.square(mean)
             if (self.training and self.track_running_stats
                     and not self.stats_frozen):
                 self.num_batches_tracked[...] = (
@@ -103,12 +107,19 @@ class _BatchNormNdLayer(nnx.Module):
             mean = self.running_mean[...]
             var = self.running_var[...]
 
-        out = (x - mean.reshape(shape)) * jax.lax.rsqrt(
-            var.reshape(shape) + self.eps)
+        # fused scale+shift form: stats in fp32, one elementwise pass in
+        # the activation dtype (bf16 activations stay bf16 end-to-end)
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.eps)
         if self.affine:
-            out = out * self.weight[...].reshape(shape) + \
-                self.bias[...].reshape(shape)
-        return out
+            scale = self.weight[...].astype(jnp.float32) * inv
+            shift = (self.bias[...].astype(jnp.float32)
+                     - mean.astype(jnp.float32) * scale)
+        else:
+            scale = inv
+            shift = -mean.astype(jnp.float32) * inv
+        scale = scale.astype(x.dtype).reshape(shape)
+        shift = shift.astype(x.dtype).reshape(shape)
+        return x * scale + shift
 
     def __call__(self, input):
         if isinstance(input, tuple):

@@ -42,9 +42,15 @@ def _dim_numbers(nd: int, data_format: str = "NCHW") -> Tuple[str, str, str]:
     return (act, "OI" + spatial, act)
 
 
-def _accum_dtype(x):
-    # int8 operands accumulate in int32 on the MXU; floats in fp32
-    return jnp.int32 if jnp.issubdtype(x.dtype, jnp.integer) else jnp.float32
+def _accum_dtype(x, compute_dtype=None):
+    # int8 operands accumulate in int32 on the MXU. For floats, the MXU
+    # always accumulates in fp32 internally; when a compute_dtype is set
+    # the conv RESULT is emitted in that dtype directly, which removes a
+    # full fp32 elementwise pass over the activations (profiling showed
+    # fp32 BN/ReLU/cast passes dominating the step time).
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        return jnp.int32
+    return jnp.float32 if compute_dtype is None else compute_dtype
 
 
 def _bias_shape(nd: int, data_format: str) -> Tuple[int, ...]:
@@ -78,7 +84,7 @@ def conv_nd(x, w, b=None, *, stride=1, padding=0, dilation=1, groups=1,
         rhs_dilation=dilation,
         dimension_numbers=_dim_numbers(nd, data_format),
         feature_group_count=groups,
-        preferred_element_type=_accum_dtype(x),
+        preferred_element_type=_accum_dtype(x, compute_dtype),
     )
     if b is not None:
         out = out + b.astype(out.dtype).reshape(_bias_shape(nd, data_format))
@@ -128,7 +134,7 @@ def conv_transpose_nd(x, w, b=None, *, stride=1, padding=0,
         rhs_dilation=dilation,
         dimension_numbers=_dim_numbers(nd, data_format),
         feature_group_count=groups,
-        preferred_element_type=_accum_dtype(x),
+        preferred_element_type=_accum_dtype(x, compute_dtype),
     )
     if b is not None:
         out = out + b.astype(out.dtype).reshape(_bias_shape(nd, data_format))

@@ -22,13 +22,15 @@ from bayesian_torch_tpu.ops.sampling import sample_gaussian_weight, sigma_from_r
 
 def _linear(x, w, b=None, compute_dtype=None):
     """y = x @ w^T + b with torch-layout weight (out_features, in_features)."""
+    preferred = jnp.float32
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+        preferred = compute_dtype  # f32-accumulated, emitted in bf16
     out = jax.lax.dot_general(
         x, w,
         dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
     if b is not None:
         out = out + b.astype(out.dtype)
