@@ -38,6 +38,12 @@ def get_kernel_size(x, n):
     return tuple(repeat(x, n))
 
 
+class Presampled(nnx.Variable):
+    """Per-MC-draw presampled weights, set transiently by
+    parallel.mc.mc_forward's fused-sampler path. Carries a leading MC
+    axis outside the vmapped region; mapped (axis 0) inside it."""
+
+
 class Prior(nnx.Variable):
     """Non-trainable prior parameter (mu or sigma of the Gaussian prior).
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 from flax import nnx
 
 from bayesian_torch_tpu.layers.base_variational_layer import (
@@ -196,6 +197,40 @@ class _BaseConvLayer(BaseVariationalLayer):
 
         if self.quant_prepare:
             out = self._observed_forward(input)
+            if return_kl:
+                return out, (self.kl_loss() if self.compute_kl else 0.0)
+            return out
+
+        if getattr(self, "_presampled_w", None) is not None:
+            # fused-sampler path (parallel.mc.mc_forward):
+            # reparam: _presampled_w is the sampled kernel;
+            # flipout: it is delta_kernel = sigma*eps (mean conv uses mu)
+            from bayesian_torch_tpu.ops.conv import _apply_conv
+            args = self._conv_args()
+            b = (self._presampled_b[...]
+                 if getattr(self, "_presampled_b", None) is not None
+                 else None)
+            if self.estimator == "flipout":
+                mu_b = (self.mu_bias[...] if self.mu_bias is not None
+                        else None)
+                mean_out = _apply_conv(input, self.mu_kernel[...], mu_b,
+                                       self.transposed,
+                                       compute_dtype=self.compute_dtype,
+                                       **args)
+                k_si, k_so = jax.random.split(self.rngs.noise())
+                s_in = jax.random.rademacher(k_si, input.shape, input.dtype)
+                s_out = jax.random.rademacher(k_so, mean_out.shape,
+                                              mean_out.dtype)
+                pert = _apply_conv(input * s_in, self._presampled_w[...],
+                                   b, self.transposed,
+                                   compute_dtype=self.compute_dtype,
+                                   **args)
+                out = mean_out + pert * s_out
+            else:
+                out = _apply_conv(input, self._presampled_w[...], b,
+                                  self.transposed,
+                                  compute_dtype=self.compute_dtype,
+                                  **args)
             if return_kl:
                 return out, (self.kl_loss() if self.compute_kl else 0.0)
             return out

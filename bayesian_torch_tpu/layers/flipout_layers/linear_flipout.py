@@ -135,6 +135,27 @@ class LinearFlipout(BaseVariationalLayer):
                 return out, (self.kl_loss() if self.compute_kl else 0.0)
             return out
 
+        if getattr(self, "_presampled_w", None) is not None:
+            # fused-sampler path: _presampled_w is delta_w = sigma*eps
+            import jax as _jax
+            from bayesian_torch_tpu.ops.linear import _linear
+            mu_b = self.mu_bias[...] if self.mu_bias is not None else None
+            mean_out = _linear(x, self.mu_weight[...], mu_b,
+                               self.compute_dtype)
+            b = (self._presampled_b[...]
+                 if getattr(self, "_presampled_b", None) is not None
+                 else None)
+            k_si, k_so = _jax.random.split(self.rngs.noise())
+            s_in = _jax.random.rademacher(k_si, x.shape, x.dtype)
+            s_out = _jax.random.rademacher(k_so, mean_out.shape,
+                                           mean_out.dtype)
+            pert = _linear(x * s_in, self._presampled_w[...], b,
+                           self.compute_dtype)
+            out = mean_out + pert * s_out
+            if return_kl:
+                return out, (self.kl_loss() if self.compute_kl else 0.0)
+            return out
+
         mu_b = self.mu_bias[...] if self.mu_bias is not None else None
         rho_b = self.rho_bias[...] if self.rho_bias is not None else None
 

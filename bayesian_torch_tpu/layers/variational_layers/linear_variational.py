@@ -129,6 +129,14 @@ class LinearReparameterization(BaseVariationalLayer):
 
         if self.quant_prepare:
             out = self._observed_forward(input)
+        elif getattr(self, "_presampled_w", None) is not None:
+            # fused-sampler path: weights for this MC draw were produced
+            # by the Pallas batch sampler (parallel.mc.mc_forward)
+            b = (self._presampled_b[...]
+                 if getattr(self, "_presampled_b", None) is not None
+                 else None)
+            out = linear_ops._linear(input, self._presampled_w[...], b,
+                                     self.compute_dtype)
         else:
             mu_b = self.mu_bias[...] if self.mu_bias is not None else None
             rho_b = self.rho_bias[...] if self.rho_bias is not None else None

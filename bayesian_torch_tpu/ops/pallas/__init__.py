@@ -5,10 +5,12 @@ The reference delegates its hot loops to PyTorch's C++/CUDA/oneDNN ops
 
 - ``sampled_weights.py``: K1 — fused Gaussian weight sampling with the
   on-chip hardware PRNG (mu + softplus(rho) * eps in one VMEM pass,
-  Box-Muller normals from pltpu.prng_random_bits, bf16 output, and a
-  regenerate-eps custom VJP that never stores eps in HBM).
+  Box-Muller normals, bf16 output, regenerate-eps custom VJP), in
+  single-draw and batched-S (read-mu-once, stream S draws) variants.
 """
 
 from bayesian_torch_tpu.ops.pallas.sampled_weights import (  # noqa: F401
     sample_gaussian_pallas,
+    sample_gaussian_pallas_batch,
+    sample_scaled_normals_batch,
 )

@@ -36,6 +36,11 @@ _TILE_ROWS = 256
 _LANES = 128
 _TILE = _TILE_ROWS * _LANES
 
+# the batched-S kernel uses much larger tiles: its grid is (tiles, S)
+# and per-step sequencing overhead dominates with small tiles
+_BTILE_ROWS = 1024
+_BTILE = _BTILE_ROWS * _LANES
+
 _TWO_PI = 2.0 * math.pi
 _U24 = 1.0 / (1 << 24)
 
@@ -67,13 +72,14 @@ def _drho_kernel(seed_ref, rho_ref, g_ref, out_ref):
     out_ref[:] = g_ref[:] * eps * jax.nn.sigmoid(rho_ref[:])
 
 
-def _pad_to_tiles(x):
+def _pad_to_tiles(x, rows=_TILE_ROWS):
     n = x.size
-    padded = pl.cdiv(n, _TILE) * _TILE
+    tile = rows * _LANES
+    padded = pl.cdiv(n, tile) * tile
     flat = x.reshape(-1)
     if padded != n:
         flat = jnp.pad(flat, (0, padded - n))
-    return flat.reshape(-1, _TILE_ROWS, _LANES), n
+    return flat.reshape(-1, rows, _LANES), n
 
 
 def _grid_call(kernel, seed, tensors, out_dtype):
@@ -98,6 +104,146 @@ def _grid_call(kernel, seed, tensors, out_dtype):
 
 def _key_to_seed(key):
     return jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)
+
+
+def _normals_paired(shape):
+    """Box-Muller with sin/cos pairing: 2 normals per (log, sqrt) pair,
+    halving the transcendental budget vs the plain version. The
+    second-to-last (sublane) dim must be even."""
+    half = shape[:-2] + (shape[-2] // 2, shape[-1])
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(half), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(half), jnp.uint32)
+    i1 = pltpu.bitcast(b1 >> 8, jnp.int32)
+    i2 = pltpu.bitcast(b2 >> 8, jnp.int32)
+    u1 = i1.astype(jnp.float32) * _U24 + (_U24 * 0.5)
+    u2 = i2.astype(jnp.float32) * _U24
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = _TWO_PI * u2
+    return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)],
+                           axis=-2)
+
+
+def _batch_sample_kernel(seed_ref, mu_ref, sigma_ref, out_ref):
+    """grid (T, S): tile t stays resident while the S draws stream out.
+    Takes sigma directly (softplus stays in XLA where autodiff composes
+    for free and it is computed once, not once per draw)."""
+    t = pl.program_id(0)
+    s = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + t * pl.num_programs(1) + s)
+    eps = _normals_paired(mu_ref.shape)
+    # out block has an extra leading S dim of 1
+    out_ref[0] = (mu_ref[:] + sigma_ref[:] * eps).astype(out_ref.dtype)
+
+
+def _batch_dsigma_kernel(seed_ref, g_ref, out_ref):
+    """dsigma = sum_s g_s * eps_s; eps regenerated, the (t)-indexed
+    output block accumulates across the inner s grid dim."""
+    t = pl.program_id(0)
+    s = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + t * pl.num_programs(1) + s)
+    eps = _normals_paired(out_ref.shape)
+    contrib = g_ref[0].astype(jnp.float32) * eps
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(s != 0)
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+def _interp():
+    return (pltpu.InterpretParams()
+            if jax.default_backend() != "tpu" else False)
+
+
+def sample_scaled_normals_batch(key, mu, sigma, num_samples,
+                                out_dtype=jnp.bfloat16):
+    """All ``num_samples`` draws of mu + sigma*eps in ONE kernel:
+    returns (num_samples, *mu.shape).
+
+    mu/sigma tiles are read from HBM once and stay resident in VMEM
+    while the S draws stream out (grid (tiles, S), inner dim fastest),
+    so HBM traffic is read-once + write-S instead of the XLA chain's
+    read-S + write-S. Differentiable wrt mu and sigma via a
+    regenerate-eps VJP whose dsigma kernel accumulates over the S grid
+    dim in-place.
+    """
+    seed = _key_to_seed(key)
+    mu32 = mu.astype(jnp.float32)
+    sigma32 = sigma.astype(jnp.float32)
+    S = int(num_samples)
+
+    def _call_fwd(mu_t, rho_t):
+        grid_t = mu_t.shape[0]
+        in_block = pl.BlockSpec((1, _BTILE_ROWS, _LANES),
+                                lambda t, s: (t, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_block = pl.BlockSpec((1, 1, _BTILE_ROWS, _LANES),
+                                 lambda t, s: (s, t, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _batch_sample_kernel,
+            grid=(grid_t, S),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      in_block, in_block],
+            out_specs=out_block,
+            out_shape=jax.ShapeDtypeStruct(
+                (S,) + mu_t.shape, out_dtype),
+            interpret=_interp(),
+        )(jnp.asarray([seed], jnp.int32), mu_t, rho_t)
+
+    def _call_dsigma(g_t, grid_t):
+        in_block = pl.BlockSpec((1, _BTILE_ROWS, _LANES),
+                                lambda t, s: (t, 0, 0),
+                                memory_space=pltpu.VMEM)
+        g_block = pl.BlockSpec((1, 1, _BTILE_ROWS, _LANES),
+                               lambda t, s: (s, t, 0, 0),
+                               memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _batch_dsigma_kernel,
+            grid=(grid_t, S),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), g_block],
+            out_specs=in_block,
+            out_shape=jax.ShapeDtypeStruct(
+                (grid_t, _BTILE_ROWS, _LANES), jnp.float32),
+            interpret=_interp(),
+        )(jnp.asarray([seed], jnp.int32), g_t)
+
+    @jax.custom_vjp
+    def _sample(mu, sigma):
+        mu_t, n = _pad_to_tiles(mu, _BTILE_ROWS)
+        sigma_t, _ = _pad_to_tiles(sigma, _BTILE_ROWS)
+        out = _call_fwd(mu_t, sigma_t)
+        return out.reshape(S, -1)[:, :n].reshape((S,) + mu.shape)
+
+    def _fwd(mu, sigma):
+        return _sample(mu, sigma), (mu.shape, mu.size)
+
+    def _bwd(res, g):
+        shape, n = res
+        g_flat = g.astype(jnp.float32).reshape(S, -1)
+        grid_t = pl.cdiv(n, _BTILE)
+        padded_len = grid_t * _BTILE
+        if padded_len != n:
+            g_flat = jnp.pad(g_flat, ((0, 0), (0, padded_len - n)))
+        g_t = g_flat.reshape(S, -1, _BTILE_ROWS, _LANES)
+        dsigma = _call_dsigma(g_t, grid_t).reshape(-1)[:n].reshape(shape)
+        dmu = jnp.sum(g.astype(jnp.float32), axis=0)
+        return dmu, dsigma
+
+    _sample.defvjp(_fwd, _bwd)
+    return _sample(mu32, sigma32)
+
+
+def sample_gaussian_pallas_batch(key, mu, rho, num_samples,
+                                 out_dtype=jnp.bfloat16):
+    """Convenience wrapper: sigma = softplus(rho) in XLA (computed once,
+    differentiable), draws via sample_scaled_normals_batch."""
+    from bayesian_torch_tpu.ops.sampling import sigma_from_rho
+    return sample_scaled_normals_batch(key, mu, sigma_from_rho(rho),
+                                       num_samples, out_dtype)
 
 
 def sample_gaussian_pallas(key, mu, rho, out_dtype=jnp.bfloat16):

@@ -50,9 +50,83 @@ def mc_vmap(num_mc: int):
     return decorator
 
 
+def _presample_layers(model, num_mc):
+    """Draw all layers' MC weight sets with the fused Pallas batch
+    sampler (K1) and attach them as Presampled variables. Returns the
+    list of (layer, attr_names) to clean up.
+
+    reparam layers get W_s = mu + sigma*eps_s; flipout layers get
+    delta_s = sigma*eps_s (their mean path reads mu directly). Biases
+    are tiny and sampled with plain XLA. Sampling happens OUTSIDE the
+    vmapped region — the Presampled axis is mapped by state_axes.
+    """
+    import jax.numpy as jnp
+
+    from bayesian_torch_tpu.layers.base_variational_layer import Presampled
+    from bayesian_torch_tpu.models.dnn_to_bnn import iter_bayesian_layers
+    from bayesian_torch_tpu.ops.pallas import sample_scaled_normals_batch
+    from bayesian_torch_tpu.ops.sampling import sigma_from_rho
+
+    # Aggregate every layer's parameters into ONE flat buffer and run a
+    # single kernel invocation: per-layer pallas launches and padding
+    # were measured to cost more than they saved.
+    entries = []  # (layer, est, shape, n)
+    mus, sigmas = [], []
+    key = None
+    for layer in iter_bayesian_layers(model):
+        est = getattr(layer, "estimator", None)
+        if est is None:
+            est = ("flipout" if type(layer).__name__.endswith("Flipout")
+                   else "reparameterization")
+        is_conv = getattr(layer, "mu_kernel", None) is not None
+        is_lin = getattr(layer, "mu_weight", None) is not None
+        if not (is_conv or is_lin) or getattr(layer, "quant_prepare",
+                                              False):
+            continue
+        mu = layer.mu_kernel[...] if is_conv else layer.mu_weight[...]
+        rho = layer.rho_kernel[...] if is_conv else layer.rho_weight[...]
+        sigma = sigma_from_rho(rho)
+        if est == "flipout":
+            mu = jnp.zeros_like(mu)  # flipout presamples delta = sigma*eps
+        entries.append((layer, est, mu.shape, mu.size))
+        mus.append(mu.reshape(-1))
+        sigmas.append(sigma.reshape(-1))
+        if key is None:
+            key = layer.rngs.noise()
+    if not entries:
+        return []
+
+    out_dtype = entries[0][0].compute_dtype or mus[0].dtype
+    w_all = sample_scaled_normals_batch(
+        key, jnp.concatenate(mus), jnp.concatenate(sigmas), num_mc,
+        out_dtype)
+
+    touched = []
+    off = 0
+    import jax as _jax
+    for layer, est, shape, n in entries:
+        layer._presampled_w = Presampled(
+            w_all[:, off:off + n].reshape((num_mc,) + shape))
+        off += n
+        attrs = ["_presampled_w"]
+        if layer.mu_bias is not None:
+            kb = layer.rngs.noise()
+            eps_b = _jax.random.normal(kb, (num_mc,) + layer.mu_bias.shape)
+            sigma_b = sigma_from_rho(layer.rho_bias[...])
+            if est == "flipout":
+                b = sigma_b * eps_b  # mean bias rides the mu path
+            else:
+                b = layer.mu_bias[...] + sigma_b * eps_b
+            layer._presampled_b = Presampled(b)
+            attrs.append("_presampled_b")
+        touched.append((layer, attrs))
+    return touched
+
+
 def mc_forward(model: nnx.Module, x, num_mc: int, *,
                mesh: Optional[Mesh] = None, return_kl: bool = True,
-               compute_kl: Optional[bool] = None):
+               compute_kl: Optional[bool] = None,
+               presample: str = "off"):
     """Run ``num_mc`` stochastic forwards as one vmapped computation.
 
     Returns ``(outputs, kl)`` with outputs stacked on a leading MC axis
@@ -73,9 +147,23 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
             if getattr(mod, "compute_kl", None) is True:
                 mod.compute_kl = False
                 kl_off.append(mod)
+    # NOTE: presample routes weight draws through the fused Pallas batch
+    # sampler (ops/pallas/sampled_weights.py). Measured end-to-end it
+    # currently LOSES to the XLA path on ResNet-50 (the flat-buffer
+    # slices force per-conv weight relayouts); kept as opt-in until the
+    # sampler emits layout-native per-layer tiles. Default: off.
+    use_presample = (presample == "on"
+                     or (presample == "auto" and num_mc > 1
+                         and jax.default_backend() == "tpu"))
+    presampled = []
     try:
+        if use_presample:
+            presampled = _presample_layers(model, num_mc)
         return _mc_forward_inner(model, x, num_mc, mesh, return_kl)
     finally:
+        for layer, attrs in presampled:
+            for a in attrs:
+                delattr(layer, a)
         for mod in kl_off:
             mod.compute_kl = True
 
@@ -89,7 +177,10 @@ def _mc_forward_inner(model, x, num_mc, mesh, return_kl):
         kls = jnp.asarray(kl_single)[None] if hasattr(
             kl_single, "ndim") else jnp.asarray([kl_single])
     else:
-        state_axes = nnx.StateAxes({"noise": 0, ...: None})
+        from bayesian_torch_tpu.layers.base_variational_layer import (
+            Presampled,
+        )
+        state_axes = nnx.StateAxes({"noise": 0, Presampled: 0, ...: None})
 
         @nnx.split_rngs(splits=num_mc, only="noise")
         @nnx.vmap(in_axes=(state_axes, None), out_axes=0)
