@@ -94,14 +94,16 @@ def train(model, optimizer, data, *, epochs, batch_size, num_mc=1,
     """Generic training loop over (x, y) host arrays."""
     x_all, y_all = data
     step_fn = make_train_step(num_mc, batch_size)
+    # native threaded prefetch loader (bayesian_torch_tpu.data): host
+    # batch gather/shuffle overlaps device compute
+    from bayesian_torch_tpu.data import DataLoader
+    loader = DataLoader(x_all, y_all, batch_size=batch_size)
     history = []
     for epoch in range(epochs):
         losses = AverageMeter("loss")
         t0 = time.time()
         seen = 0
-        from bayesian_torch_tpu.examples._data import batches
-        for i, (xb, yb) in enumerate(batches(x_all, y_all, batch_size,
-                                             seed=epoch)):
+        for i, (xb, yb) in enumerate(loader.epoch(epoch)):
             loss, nll, kl = step_fn(model, optimizer,
                                     jnp.asarray(xb), jnp.asarray(yb))
             seen += xb.shape[0]
@@ -128,9 +130,11 @@ def evaluate(model, data, *, batch_size, num_monte_carlo=20,
     total = 0
     all_probs = []
     all_labels = []
-    from bayesian_torch_tpu.examples._data import batches
+    from bayesian_torch_tpu.data import DataLoader
+    loader = DataLoader(x_all, y_all, batch_size=batch_size,
+                        shuffle=False)
     t0 = time.time()
-    for xb, yb in batches(x_all, y_all, batch_size, shuffle=False):
+    for xb, yb in loader.epoch(0):
         probs = eval_fn(model, jnp.asarray(xb))  # (MC, B, C)
         mean_probs = np.asarray(probs.mean(axis=0))
         correct += int((mean_probs.argmax(1) == yb).sum())
