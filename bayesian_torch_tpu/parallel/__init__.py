@@ -7,3 +7,4 @@ from bayesian_torch_tpu.parallel.mc import (  # noqa: F401
     mc_forward,
     mc_vmap,
 )
+from bayesian_torch_tpu.parallel.tp import shard_params_tp  # noqa: F401

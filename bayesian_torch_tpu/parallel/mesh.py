@@ -17,22 +17,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(mc: int = 1, data: Optional[int] = None,
+def make_mesh(mc: int = 1, data: Optional[int] = None, model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a 2-D ('mc', 'data') mesh over the available devices.
+    """Build a ('mc', 'data'[, 'model']) mesh over the devices.
 
-    ``mc`` devices are assigned to the Monte-Carlo sample axis; the rest
-    go to the data-batch axis (``data`` defaults to n_devices // mc).
+    ``mc`` slots carry the Monte-Carlo sample axis, ``model`` slots
+    carry tensor-parallel parameter shards (see parallel.tp), and the
+    rest go to the data-batch axis (``data`` defaults to
+    n_devices // (mc * model)). The 'model' axis is only included when
+    model > 1, keeping the common 2-D case simple.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if data is None:
-        if n % mc != 0:
-            raise ValueError(f"{n} devices not divisible by mc={mc}")
-        data = n // mc
-    if mc * data != n:
-        raise ValueError(f"mesh {mc}x{data} != {n} devices")
+        if n % (mc * model) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by mc*model={mc * model}")
+        data = n // (mc * model)
+    if mc * data * model != n:
+        raise ValueError(f"mesh {mc}x{data}x{model} != {n} devices")
+    if model > 1:
+        return Mesh(np.asarray(devices).reshape(mc, data, model),
+                    ("mc", "data", "model"))
     return Mesh(np.asarray(devices).reshape(mc, data), ("mc", "data"))
 
 

@@ -1,0 +1,77 @@
+"""Tensor-parallel parameter sharding on the virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from bayesian_torch_tpu.layers import LinearReparameterization
+from bayesian_torch_tpu.parallel import (make_mesh, mc_forward,
+                                         shard_params_tp)
+
+
+def test_mesh_with_model_axis():
+    mesh = make_mesh(mc=2, data=2, model=2)
+    assert dict(mesh.shape) == {"mc": 2, "data": 2, "model": 2}
+
+
+def test_shard_params_tp_places_out_dim():
+    mesh = make_mesh(mc=1, data=4, model=2)
+    m = LinearReparameterization(16, 8, rngs=nnx.Rngs(params=0, noise=1))
+    n = shard_params_tp(m, mesh)
+    assert n == 4  # mu/rho x weight/bias
+    assert m.mu_weight[...].sharding.spec == jax.sharding.PartitionSpec(
+        "model", None)
+    assert m.mu_bias[...].sharding.spec == jax.sharding.PartitionSpec(
+        "model")
+
+
+def test_tp_forward_matches_replicated():
+    m = LinearReparameterization(16, 8, rngs=nnx.Rngs(params=0, noise=1))
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 16),
+                    jnp.float32)
+    eps_w = jnp.zeros((8, 16))
+    eps_b = jnp.zeros((8,))
+    out_ref, kl_ref = m(x, eps_w=eps_w, eps_b=eps_b)
+
+    mesh = make_mesh(mc=1, data=4, model=2)
+    shard_params_tp(m, mesh)
+
+    @nnx.jit
+    def run(m, x):
+        return m(x, eps_w=eps_w, eps_b=eps_b)
+
+    with mesh:
+        out_tp, kl_tp = run(m, x)
+    np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
+    assert float(kl_tp) == jax.numpy.allclose(kl_tp, kl_ref) or \
+        np.isclose(float(kl_tp), float(kl_ref), rtol=1e-5)
+
+
+def test_tp_plus_mc_train_step():
+    import optax
+
+    mesh = make_mesh(mc=2, data=2, model=2)
+    m = LinearReparameterization(16, 8, rngs=nnx.Rngs(params=0, noise=1))
+    shard_params_tp(m, mesh)
+    opt = nnx.Optimizer(m, optax.sgd(1e-2), wrt=nnx.Param)
+    x = jnp.ones((4, 16))
+    y = jnp.zeros((4,), jnp.int32)
+
+    @nnx.jit
+    def step(m, opt, x, y):
+        def loss_fn(m):
+            outs, kl = mc_forward(m, x, 2, mesh=mesh)
+            logits = outs.mean(0)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+            return ce + kl / 4
+        loss, grads = nnx.value_and_grad(loss_fn)(m)
+        opt.update(m, grads)
+        return loss
+
+    with mesh:
+        l1 = step(m, opt, x, y)
+        l2 = step(m, opt, x, y)
+    assert float(l2) < float(l1)
