@@ -11,7 +11,6 @@ engine (:25-27); the TPU build runs int8 on the MXU instead.
 from __future__ import annotations
 
 import argparse
-import os
 
 import jax.numpy as jnp
 from flax import nnx

@@ -28,7 +28,6 @@ from bayesian_torch_tpu.layers.base_variational_layer import (
 )
 from bayesian_torch_tpu.ops import conv as conv_ops
 from bayesian_torch_tpu.ops.kl import gaussian_kl_from_rho
-from bayesian_torch_tpu.ops.sampling import sigma_from_rho
 
 
 class _BaseConvLayer(BaseVariationalLayer):

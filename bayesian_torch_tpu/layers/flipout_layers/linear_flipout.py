@@ -20,7 +20,6 @@ from bayesian_torch_tpu.layers.base_variational_layer import (
 )
 from bayesian_torch_tpu.ops import linear as linear_ops
 from bayesian_torch_tpu.ops.kl import gaussian_kl_from_rho
-from bayesian_torch_tpu.ops.sampling import sigma_from_rho
 
 __all__ = ["LinearFlipout"]
 

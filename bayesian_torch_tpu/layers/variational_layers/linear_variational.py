@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax.numpy as jnp
 from flax import nnx
 
 from bayesian_torch_tpu.layers.base_variational_layer import (
@@ -30,7 +29,6 @@ from bayesian_torch_tpu.layers.base_variational_layer import (
 )
 from bayesian_torch_tpu.ops import linear as linear_ops
 from bayesian_torch_tpu.ops.kl import gaussian_kl_from_rho
-from bayesian_torch_tpu.ops.sampling import sigma_from_rho
 
 
 class LinearReparameterization(BaseVariationalLayer):

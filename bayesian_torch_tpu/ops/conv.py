@@ -19,7 +19,7 @@ transpose at graph edges only, not per-op.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ import contextlib
 import glob
 import gzip
 import json
-import time
 from collections import Counter
 
 import jax
