@@ -72,6 +72,12 @@ def make_train_step(num_mc: int, batch_size: int):
         (loss, (nll, kl)), grads = nnx.value_and_grad(
             loss_fn, has_aux=True)(model)
         optimizer.update(model, grads)
+        if num_mc > 1:
+            # BatchNorm running stats are frozen inside the MC vmap
+            # (mutating broadcast state under vmap is ill-defined);
+            # refresh them with one gradient-free plain forward, the
+            # same EMA semantics as the reference's MC training loop.
+            mc_forward(model, x, 1, return_kl=False)
         return loss, nll, kl
 
     return train_step
