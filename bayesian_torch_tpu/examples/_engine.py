@@ -95,8 +95,20 @@ def make_eval_step(num_mc: int):
     return eval_step
 
 
+def make_writer(log_dir):
+    """Optional TensorBoard writer (reference gates this behind
+    --tensorboard, main_bayesian_mnist.py:181-189); returns None when
+    tensorboard isn't importable."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        return SummaryWriter(log_dir)
+    except Exception:
+        print("tensorboard unavailable; skipping scalar logging")
+        return None
+
+
 def train(model, optimizer, data, *, epochs, batch_size, num_mc=1,
-          log_every=50, logits_are_log_probs=False):
+          log_every=50, logits_are_log_probs=False, writer=None):
     """Generic training loop over (x, y) host arrays."""
     x_all, y_all = data
     step_fn = make_train_step(num_mc, batch_size)
@@ -120,13 +132,17 @@ def train(model, optimizer, data, *, epochs, batch_size, num_mc=1,
                       f"nll {float(nll):.4f} kl {float(kl):.4f}")
         dt = time.time() - t0
         print(f"epoch {epoch}: {losses} | {seen / dt:.1f} imgs/s")
+        if writer is not None:
+            # reference scalar names (main_bayesian_cifar.py:404-410)
+            writer.add_scalar("train/elbo_loss", losses.avg, epoch)
+            writer.add_scalar("train/imgs_per_sec", seen / dt, epoch)
         history.append({"epoch": epoch, "loss": losses.avg,
                         "imgs_per_sec": seen / dt})
     return history
 
 
 def evaluate(model, data, *, batch_size, num_monte_carlo=20,
-             save_probs_to=None):
+             save_probs_to=None, writer=None, epoch=0):
     """MC-predictive evaluation: accuracy + UQ metrics, optional .npy
     dump of the MC probability stack (reference
     main_bayesian_mnist.py:79-99)."""
@@ -156,6 +172,10 @@ def evaluate(model, data, *, batch_size, num_monte_carlo=20,
     print(f"test: accuracy {acc * 100:.2f}% | {total / dt:.1f} imgs/s | "
           f"predictive entropy {pe.mean():.4f} | "
           f"mutual information {mi.mean():.4f}")
+    if writer is not None:
+        writer.add_scalar("val/accuracy", acc, epoch)
+        writer.add_scalar("val/predictive_entropy", float(pe.mean()), epoch)
+        writer.add_scalar("val/mutual_information", float(mi.mean()), epoch)
     if save_probs_to:
         os.makedirs(os.path.dirname(save_probs_to) or ".", exist_ok=True)
         np.save(save_probs_to, probs)

@@ -37,6 +37,8 @@ def build_parser():
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--synthetic", action="store_true",
                    help="use synthetic data (no-network environments)")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="log scalars to <save_dir>/tb")
     return p
 
 
@@ -49,16 +51,20 @@ def main(argv=None):
 
     if args.mode == "train":
         model.train()
+        writer = (engine.make_writer(os.path.join(args.save_dir, "tb"))
+                  if args.tensorboard else None)
         # reference uses Adadelta(lr=1.0) (main_bayesian_mnist argparse)
         import optax
         optimizer = nnx.Optimizer(model, optax.adadelta(args.lr),
                                   wrt=nnx.Param)
         engine.train(model, optimizer, train_data, epochs=args.epochs,
-                     batch_size=args.batch_size, num_mc=args.num_mc)
+                     batch_size=args.batch_size, num_mc=args.num_mc,
+                     writer=writer)
         model.eval()
         metrics = engine.evaluate(model, test_data,
                                   batch_size=args.test_batch_size,
-                                  num_monte_carlo=args.num_monte_carlo)
+                                  num_monte_carlo=args.num_monte_carlo,
+                                  writer=writer, epoch=args.epochs)
         save_checkpoint(model, ckpt_path)
         engine.save_metrics(metrics, os.path.join(args.save_dir,
                                                   "mnist_metrics.json"))
