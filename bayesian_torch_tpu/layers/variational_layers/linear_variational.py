@@ -135,6 +135,29 @@ class LinearReparameterization(BaseVariationalLayer):
                  else None)
             out = linear_ops._linear(input, self._presampled_w[...], b,
                                      self.compute_dtype)
+        elif (self.impl == "pallas" and eps_w is None and eps_b is None):
+            # fused sample-then-GEMM: the sampled W never exists in HBM
+            # (ops/pallas/sampled_matmul.py). Note: incompatible with the
+            # vmapped MC axis (pallas_call has no batching rule) — use
+            # for non-vmapped forwards.
+            import jax
+            from bayesian_torch_tpu.ops.pallas.sampled_matmul import (
+                sampled_matmul_pallas,
+            )
+            kw, kb = jax.random.split(self.rngs.noise())
+            lead = input.shape[:-1]
+            x2 = input.reshape(-1, self.in_features)
+            out = sampled_matmul_pallas(
+                kw, x2, self.mu_weight[...], self.rho_weight[...],
+                out_dtype=self.compute_dtype or input.dtype)
+            if self.mu_bias is not None:
+                from bayesian_torch_tpu.ops.sampling import (
+                    sample_gaussian_weight,
+                )
+                b, _ = sample_gaussian_weight(kb, self.mu_bias[...],
+                                              self.rho_bias[...])
+                out = out + b.astype(out.dtype)
+            out = out.reshape(lead + (self.out_features,))
         else:
             mu_b = self.mu_bias[...] if self.mu_bias is not None else None
             rho_b = self.rho_bias[...] if self.rho_bias is not None else None

@@ -9,6 +9,9 @@ The reference delegates its hot loops to PyTorch's C++/CUDA/oneDNN ops
   single-draw and batched-S (read-mu-once, stream S draws) variants.
 """
 
+from bayesian_torch_tpu.ops.pallas.sampled_matmul import (  # noqa: F401
+    sampled_matmul_pallas,
+)
 from bayesian_torch_tpu.ops.pallas.sampled_weights import (  # noqa: F401
     sample_gaussian_pallas,
     sample_gaussian_pallas_batch,
