@@ -114,6 +114,52 @@ class _BaseLSTMLayer(BaseVariationalLayer):
         base_key = self.rngs.noise()
         xs = jnp.swapaxes(X, 0, 1)  # (seq, batch, feature)
 
+        if hasattr(self.ih, "quantized_mu_weight"):
+            # INT8-quantized cell (bnn_to_qbnn quantized the ih/hh
+            # blocks): sample the int8 posteriors once per sequence and
+            # scan with fixed dequantized weights (weight-only
+            # quantization — the reference's LSTM quantization path is
+            # broken, bnn_to_qbnn.py:147-156, so these semantics are
+            # this framework's).
+            from bayesian_torch_tpu.ops.int8 import dequantize
+
+            def deq_weight(lin, key):
+                eps = jax.random.normal(key, lin.quantized_mu_weight.shape)
+                w = (dequantize(lin.quantized_mu_weight[...],
+                                lin.mu_weight_scale[...])
+                     + dequantize(lin.quantized_sigma_weight[...],
+                                  lin.sigma_weight_scale[...]) * eps)
+                return w
+
+            k_i, k_h = jax.random.split(base_key)
+            w_ih = deq_weight(self.ih, k_i)
+            w_hh = deq_weight(self.hh, k_h)
+            b_ih = self.ih._sample_bias()
+            b_hh = self.hh._sample_bias()
+            b = None
+            if b_ih is not None:
+                b = b_ih + (b_hh if b_hh is not None else 0.0)
+
+            def step(carry, x_t):
+                h, c = carry
+                gates = x_t @ w_ih.T + h @ w_hh.T
+                if b is not None:
+                    gates = gates + b
+                i_t = jax.nn.sigmoid(gates[:, :HS])
+                f_t = jax.nn.sigmoid(gates[:, HS:2 * HS])
+                g_t = jnp.tanh(gates[:, 2 * HS:3 * HS])
+                o_t = jax.nn.sigmoid(gates[:, 3 * HS:])
+                c = f_t * c + i_t * g_t
+                h = o_t * jnp.tanh(c)
+                return (h, c), (h, c)
+
+            (_, _), (h_seq, c_seq) = jax.lax.scan(step, (h0, c0), xs)
+            hidden_seq = jnp.swapaxes(h_seq, 0, 1)
+            c_ts = jnp.swapaxes(c_seq, 0, 1)
+            if return_kl:
+                return hidden_seq, (hidden_seq, c_ts), 0.0
+            return hidden_seq, (hidden_seq, c_ts)
+
         if self.resample_per_step:
             def step(carry, inp):
                 h, c = carry
