@@ -87,6 +87,7 @@ class TestCifarResNet:
 
 
 class TestLargeResNet:
+    @pytest.mark.slow
     def test_bayesian_resnet18_tiny_input(self):
         from bayesian_torch_tpu.models.bayesian.resnet_variational_large \
             import resnet18
@@ -96,6 +97,7 @@ class TestLargeResNet:
         assert out.shape == (2, 10)
         assert float(kl) > 0
 
+    @pytest.mark.slow
     def test_det_resnet50_shapes(self):
         from bayesian_torch_tpu.models.deterministic.resnet_large import (
             resnet50)
