@@ -25,11 +25,17 @@ _SYNTH_TRAIN_CAP = int(os.environ.get("BTT_SYNTH_TRAIN_N", 4096))
 _SYNTH_TEST_CAP = int(os.environ.get("BTT_SYNTH_TEST_N", 1024))
 
 
-def _synthetic(n, shape, num_classes, seed):
-    """Class-conditional Gaussian blobs: learnable but trivial."""
+def _synthetic(n, shape, num_classes, seed, proto_seed=1234):
+    """Class-conditional Gaussian blobs: learnable but trivial.
+
+    Class prototypes come from ``proto_seed`` (shared between the train
+    and test splits of a dataset — otherwise generalization would be
+    impossible); ``seed`` only drives the labels and per-example noise.
+    """
+    protos = np.random.RandomState(proto_seed).randn(
+        num_classes, *shape).astype(np.float32)
     rs = np.random.RandomState(seed)
     y = rs.randint(0, num_classes, size=n).astype(np.int32)
-    protos = rs.randn(num_classes, *shape).astype(np.float32)
     x = 0.6 * protos[y] + 0.8 * rs.randn(n, *shape).astype(np.float32)
     return x, y
 
@@ -61,8 +67,8 @@ def load_mnist(data_dir=None, synthetic=False, n_train=60000, n_test=10000):
                                                    y_te.astype(np.int32))
     n_train = min(n_train, _SYNTH_TRAIN_CAP)
     n_test = min(n_test, _SYNTH_TEST_CAP)
-    return (_synthetic(n_train, (1, 28, 28), 10, 0),
-            _synthetic(n_test, (1, 28, 28), 10, 1))
+    return (_synthetic(n_train, (1, 28, 28), 10, 0, proto_seed=100),
+            _synthetic(n_test, (1, 28, 28), 10, 1, proto_seed=100))
 
 
 def load_cifar10(data_dir=None, synthetic=False, n_train=50000,
@@ -83,8 +89,8 @@ def load_cifar10(data_dir=None, synthetic=False, n_train=50000,
                 ((x_te - mean) / std, y_te.astype(np.int32))
     n_train = min(n_train, _SYNTH_TRAIN_CAP)
     n_test = min(n_test, _SYNTH_TEST_CAP)
-    return (_synthetic(n_train, (3, 32, 32), 10, 2),
-            _synthetic(n_test, (3, 32, 32), 10, 3))
+    return (_synthetic(n_train, (3, 32, 32), 10, 2, proto_seed=200),
+            _synthetic(n_test, (3, 32, 32), 10, 3, proto_seed=200))
 
 
 def load_imagenet_val(data_dir=None, synthetic=False, n=256, img=224,
@@ -96,7 +102,8 @@ def load_imagenet_val(data_dir=None, synthetic=False, n=256, img=224,
         if got is not None:
             x, y = got
             return x.astype(np.float32), y.astype(np.int32)
-    x, y = _synthetic(min(n, _SYNTH_TEST_CAP), (3, img, img), num_classes, 4)
+    x, y = _synthetic(min(n, _SYNTH_TEST_CAP), (3, img, img), num_classes,
+                      4, proto_seed=300)
     return x, y
 
 

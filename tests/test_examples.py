@@ -73,3 +73,18 @@ def test_bayesian_imagenet_smoke(tmp_path):
     main(["--mode=train", "--epochs=1", "--synthetic", "--arch=resnet18",
           "--batch-size=16", "--num_monte_carlo=2", "--num-classes=10",
           f"--save_dir={tmp_path}"])
+
+
+@pytest.mark.slow
+def test_bayesian_mnist_converges(tmp_path, monkeypatch):
+    """End-to-end learning check: 3 epochs on the synthetic blobs must
+    reach high MC-predictive accuracy (regression test for the
+    shared-prototype synthetic data)."""
+    import json
+    from bayesian_torch_tpu.examples.main_bayesian_mnist import main
+    main(["--mode=train", "--epochs=3", "--synthetic", "--batch-size=64",
+          "--test-batch-size=256", "--num_monte_carlo=5",
+          f"--save_dir={tmp_path}"])
+    with open(f"{tmp_path}/mnist_metrics.json") as f:
+        metrics = json.load(f)
+    assert metrics["accuracy"] > 0.8, metrics
