@@ -192,7 +192,21 @@ def flipout_conv(x, key, mu_k, rho_k, mu_b=None, rho_b=None, *,
     Matches reference conv_flipout.py:370-433: the mean conv carries
     mu_bias; the perturbation conv carries only sigma_b*eps_b.
     """
+    from bayesian_torch_tpu.ops.sampling import rademacher_fused
+
     k_eps, k_epsb, k_sin, k_sout = jax.random.split(key, 4)
+    if compute_dtype is not None:
+        # sample and sign-flip in the compute dtype: halves the sampling
+        # and sign-multiply HBM traffic (see ops/linear.py)
+        x = x.astype(compute_dtype)
+        mu_k, rho_k = mu_k.astype(compute_dtype), rho_k.astype(compute_dtype)
+        if mu_b is not None:
+            mu_b = mu_b.astype(compute_dtype)
+            rho_b = rho_b.astype(compute_dtype)
+        if eps_k is not None:
+            eps_k = eps_k.astype(compute_dtype)
+        if eps_b is not None:
+            eps_b = eps_b.astype(compute_dtype)
 
     mean_out = _apply_conv(x, mu_k, mu_b, transposed, stride=stride,
                            padding=padding, output_padding=output_padding,
@@ -213,10 +227,9 @@ def flipout_conv(x, key, mu_k, rho_k, mu_b=None, rho_b=None, *,
         pert_bias = sigma_b * eps_b
 
     if sign_in is None:
-        sign_in = jax.random.rademacher(k_sin, x.shape, x.dtype)
+        sign_in = rademacher_fused(k_sin, x.shape, x.dtype)
     if sign_out is None:
-        sign_out = jax.random.rademacher(k_sout, mean_out.shape,
-                                         mean_out.dtype)
+        sign_out = rademacher_fused(k_sout, mean_out.shape, mean_out.dtype)
 
     pert = _apply_conv(x * sign_in, delta_k, pert_bias, transposed,
                        stride=stride, padding=padding,

@@ -76,7 +76,20 @@ def flipout_linear(x, key, mu_w, rho_w, mu_b=None, rho_b=None, *,
     perturbation GEMM; signs are iid Rademacher with input signs shaped
     like x and output signs shaped like the output.
     """
+    from bayesian_torch_tpu.ops.sampling import rademacher_fused
+
     k_eps, k_epsb, k_sin, k_sout = jax.random.split(key, 4)
+    if compute_dtype is not None:
+        # sample and sign-flip in the compute dtype (see sampled_linear)
+        x = x.astype(compute_dtype)
+        mu_w, rho_w = mu_w.astype(compute_dtype), rho_w.astype(compute_dtype)
+        if mu_b is not None:
+            mu_b = mu_b.astype(compute_dtype)
+            rho_b = rho_b.astype(compute_dtype)
+        if eps_w is not None:
+            eps_w = eps_w.astype(compute_dtype)
+        if eps_b is not None:
+            eps_b = eps_b.astype(compute_dtype)
     sigma_w = sigma_from_rho(rho_w)
     if eps_w is None:
         eps_w = jax.random.normal(k_eps, mu_w.shape, mu_w.dtype)
@@ -92,9 +105,8 @@ def flipout_linear(x, key, mu_w, rho_w, mu_b=None, rho_b=None, *,
         pert_bias = sigma_b * eps_b
 
     if sign_in is None:
-        sign_in = jax.random.rademacher(k_sin, x.shape, x.dtype)
+        sign_in = rademacher_fused(k_sin, x.shape, x.dtype)
     if sign_out is None:
-        sign_out = jax.random.rademacher(k_sout, mean_out.shape,
-                                         mean_out.dtype)
+        sign_out = rademacher_fused(k_sout, mean_out.shape, mean_out.dtype)
     perturbed = _linear(x * sign_in, delta_w, pert_bias, compute_dtype)
     return mean_out + perturbed * sign_out

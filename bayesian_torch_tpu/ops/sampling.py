@@ -9,6 +9,8 @@ function of a key, which makes MC-vmap, sharding, and test determinism
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -53,3 +55,40 @@ def rademacher(key, shape, dtype=jnp.float32):
     (linear_flipout.py:169-170); distributionally identical.
     """
     return jax.random.rademacher(key, shape, dtype=dtype)
+
+
+_SM32_GOLDEN = 0x9E3779B9  # splitmix increment (2^32 / golden ratio)
+
+
+def _splitmix32(x):
+    """splitmix32 finalizer: full-avalanche 32-bit mix (elementwise)."""
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def rademacher_fused(key, shape, dtype=jnp.float32):
+    """iid signs in {-1, +1} from a counter-based hash.
+
+    Flipout needs activation-shaped sign tensors every call. Drawing them
+    with the TPU RNG op (rng-bit-generator) writes a full uint32 word per
+    element to HBM and reads it back in the convert fusion — profiled at
+    ~28% of the Flipout ResNet-50 step. Here the sign for flat position i
+    is bit 31 of splitmix32(salt + (i+1)*GOLDEN): iota + integer mixes are
+    plain elementwise ops that XLA fuses into the consuming multiply, so
+    the signs never exist in memory at all.
+
+    Independence across draws comes from the salt, a 32-bit digest of the
+    PRNG key; within a draw, splitmix32 is a bijective full-avalanche mix
+    whose high bit is unbiased and pairwise-uncorrelated across counters
+    (it is exactly the splitmix generator's output stream).
+    """
+    data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    salt = data[-1]
+    for i in range(data.shape[0] - 1):
+        salt = salt * jnp.uint32(_SM32_GOLDEN) ^ data[i]
+    n = math.prod(shape)
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).reshape(shape)
+    h = _splitmix32(salt + (idx + jnp.uint32(1)) * jnp.uint32(_SM32_GOLDEN))
+    one = jnp.ones((), dtype)
+    return jnp.where((h >> 31).astype(jnp.bool_), -one, one)
