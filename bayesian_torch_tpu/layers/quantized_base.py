@@ -243,10 +243,10 @@ class _QuantizedLayerBase(BaseVariationalLayer):
             outputs_q = self._apply_int8(x_q, s2, z2,
                                          self.quantized_mu_weight[...],
                                          s_mu, mean_bias, s3, z3)
+            from bayesian_torch_tpu.ops.sampling import rademacher_fused
             k_si, k_so = jax.random.split(self.rngs.noise())
-            sign_in = jax.random.rademacher(k_si, x.shape, jnp.float32)
-            sign_out = jax.random.rademacher(k_so, outputs_q.shape,
-                                             jnp.float32)
+            sign_in = rademacher_fused(k_si, x.shape, jnp.float32)
+            sign_out = rademacher_fused(k_so, outputs_q.shape, jnp.float32)
             sign_in_q = q.quantize_uint8(sign_in, s4, z4)
             sign_out_q = q.quantize_uint8(sign_out, s5, z5)
             x_tmp_q = q.qmul(x_q, s2, sign_in_q, s4, s6, z6,
@@ -276,9 +276,10 @@ class _QuantizedLayerBase(BaseVariationalLayer):
             eps_b = jax.random.normal(self.rngs.noise(),
                                       self.quantized_sigma_bias.shape)
             pert_bias = self.quantized_sigma_bias[...] * eps_b
+        from bayesian_torch_tpu.ops.sampling import rademacher_fused
         k_si, k_so = jax.random.split(self.rngs.noise())
-        sign_in = jax.random.rademacher(k_si, x.shape, jnp.float32)
-        sign_out = jax.random.rademacher(k_so, outputs_q.shape, jnp.float32)
+        sign_in = rademacher_fused(k_si, x.shape, jnp.float32)
+        sign_out = rademacher_fused(k_so, outputs_q.shape, jnp.float32)
         sign_in_q = q.quantize_uint8(sign_in, ds, dz)
         sign_out_q = q.quantize_uint8(sign_out, ds, dz)
         x_tmp_q = q.qmul(x_q, ds, sign_in_q, ds, ds, dz, a_zp=dz, b_zp=dz,

@@ -109,29 +109,48 @@ def qconv(x_q, x_scale, x_zp, w_q, w_scale, bias_f32, out_scale, out_zp, *,
 
     Activations are re-centered as (x_q - 128) so both conv operands are
     int8 for the MXU; the (128 - zp) shift is restored with a
-    "ones-conv" correction, which is exact including zero-padded borders
-    (padding represents the real value 0, i.e. quantized zp, exactly as
+    border-exact correction sum_valid_taps w * (128 - zp). Because the
+    shift is constant across input channels, the correction collapses to
+    a conv of a SINGLE-channel ones image against the channel-summed
+    kernel — in_channels-per-group of 1, so its cost is ~C_in times
+    smaller than the naive full ones-conv (which round 1 measured at a
+    2x step cost; VERDICT.md K4). Exact including zero-padded borders
+    (padding represents the real value 0 = quantized zp, exactly as
     torch's quantized conv pads with zp).
     """
     nd = x_q.ndim - 2
     from bayesian_torch_tpu.ops import conv as conv_ops
 
-    def _conv(x, w):
+    def _conv(x, w, g):
         if transposed:
             return conv_ops.conv_transpose_nd(
                 x, w, None, stride=stride, padding=padding,
                 output_padding=output_padding, dilation=dilation,
-                groups=groups, data_format=data_format, compute_dtype=None)
+                groups=g, data_format=data_format, compute_dtype=None)
         return conv_ops.conv_nd(
             x, w, None, stride=stride, padding=padding,
-            dilation=dilation, groups=groups, data_format=data_format,
+            dilation=dilation, groups=g, data_format=data_format,
             compute_dtype=None)
 
     x_c = (x_q.astype(jnp.int32) - 128).astype(jnp.int8)
-    acc = _conv(x_c, w_q)
-    # border-exact correction: sum_valid w * (128 - zp)
-    ones = jnp.ones_like(x_c)
-    acc = acc + (128 - jnp.int32(x_zp)) * _conv(ones, w_q)
+    acc = _conv(x_c, w_q, groups)
+
+    # channel-summed correction kernel (integer-valued; exact in f32:
+    # |sum| <= 127 * C_in/g * prod(k) << 2^24)
+    k = w_q.shape[2:]
+    if transposed:
+        # (I, O/g, *k) -> (g, I/g, O/g, *k) -> sum in-channels -> (g, O/g, *k)
+        s = w_q.astype(jnp.float32).reshape(
+            (groups, w_q.shape[0] // groups, w_q.shape[1]) + k).sum(axis=1)
+    else:
+        # (O, I/g, *k) -> sum in-channels -> (O, 1, *k)
+        s = w_q.astype(jnp.float32).sum(axis=1, keepdims=True)
+    if data_format.endswith("C"):
+        ones1 = jnp.ones((1,) + x_q.shape[1:-1] + (groups,), jnp.float32)
+    else:
+        ones1 = jnp.ones((1, groups) + x_q.shape[2:], jnp.float32)
+    corr = _conv(ones1, s, groups).astype(jnp.int32)  # (1, O, *out)
+    acc = acc + (128 - jnp.int32(x_zp)) * corr
     out = acc.astype(jnp.float32) * (x_scale * w_scale)
     if bias_f32 is not None:
         shape = ((1, -1) + (1,) * nd) if not data_format.endswith("C") \
