@@ -52,16 +52,18 @@ class AverageMeter:
         return f"{self.name} {self.val:.4f} ({self.avg:.4f})"
 
 
-def make_train_step(num_mc: int, batch_size: int):
+def make_train_step(num_mc: int, batch_size: int, mesh=None):
     """Jitted ELBO step: loss = mean-over-MC CE + KL/batch_size.
 
     Matches the reference objective (main_bayesian_mnist.py:27-35).
+    With ``mesh``, the MC axis is sharded over the mesh's 'mc' slots
+    and the batch over 'data' (num_mc must divide the 'mc' axis).
     """
 
     @nnx.jit(static_argnames=())
     def train_step(model, optimizer, x, y):
         def loss_fn(model):
-            outs, kl = mc_forward(model, x, num_mc)
+            outs, kl = mc_forward(model, x, num_mc, mesh=mesh)
             log_probs = jax.nn.log_softmax(outs, axis=-1)
             mean_out = jnp.mean(log_probs, axis=0)
             nll = -jnp.take_along_axis(mean_out, y[:, None],
@@ -69,27 +71,25 @@ def make_train_step(num_mc: int, batch_size: int):
             loss = nll + kl / batch_size
             return loss, (nll, kl)
 
+        # BatchNorm running stats update inside mc_forward itself
+        # (bn_stats="ema": per-draw batch stats are collected under the
+        # vmap and averaged into one EMA write) — no extra refresh
+        # forward is needed for num_mc > 1.
         (loss, (nll, kl)), grads = nnx.value_and_grad(
             loss_fn, has_aux=True)(model)
         optimizer.update(model, grads)
-        if num_mc > 1:
-            # BatchNorm running stats are frozen inside the MC vmap
-            # (mutating broadcast state under vmap is ill-defined);
-            # refresh them with one gradient-free plain forward, the
-            # same EMA semantics as the reference's MC training loop.
-            mc_forward(model, x, 1, return_kl=False)
         return loss, nll, kl
 
     return train_step
 
 
-def make_eval_step(num_mc: int):
+def make_eval_step(num_mc: int, mesh=None):
     """Jitted MC predictive step -> per-sample class probabilities of
     shape (num_mc, batch, classes)."""
 
     @nnx.jit
     def eval_step(model, x):
-        outs = mc_forward(model, x, num_mc, return_kl=False)
+        outs = mc_forward(model, x, num_mc, return_kl=False, mesh=mesh)
         return jax.nn.softmax(outs, axis=-1)
 
     return eval_step
@@ -108,10 +108,11 @@ def make_writer(log_dir):
 
 
 def train(model, optimizer, data, *, epochs, batch_size, num_mc=1,
-          log_every=50, logits_are_log_probs=False, writer=None):
+          log_every=50, logits_are_log_probs=False, writer=None,
+          mesh=None):
     """Generic training loop over (x, y) host arrays."""
     x_all, y_all = data
-    step_fn = make_train_step(num_mc, batch_size)
+    step_fn = make_train_step(num_mc, batch_size, mesh)
     # native threaded prefetch loader (bayesian_torch_tpu.data): host
     # batch gather/shuffle overlaps device compute
     from bayesian_torch_tpu.data import DataLoader
@@ -122,8 +123,11 @@ def train(model, optimizer, data, *, epochs, batch_size, num_mc=1,
         t0 = time.time()
         seen = 0
         for i, (xb, yb) in enumerate(loader.epoch(epoch)):
-            loss, nll, kl = step_fn(model, optimizer,
-                                    jnp.asarray(xb), jnp.asarray(yb))
+            xb, yb = jnp.asarray(xb), jnp.asarray(yb)
+            if mesh is not None:
+                from bayesian_torch_tpu.parallel import shard_batch
+                xb, yb = shard_batch(xb, mesh), shard_batch(yb, mesh)
+            loss, nll, kl = step_fn(model, optimizer, xb, yb)
             seen += xb.shape[0]
             if i % log_every == 0:
                 loss_f = float(loss)
@@ -142,12 +146,12 @@ def train(model, optimizer, data, *, epochs, batch_size, num_mc=1,
 
 
 def evaluate(model, data, *, batch_size, num_monte_carlo=20,
-             save_probs_to=None, writer=None, epoch=0):
+             save_probs_to=None, writer=None, epoch=0, mesh=None):
     """MC-predictive evaluation: accuracy + UQ metrics, optional .npy
     dump of the MC probability stack (reference
     main_bayesian_mnist.py:79-99)."""
     x_all, y_all = data
-    eval_fn = make_eval_step(num_monte_carlo)
+    eval_fn = make_eval_step(num_monte_carlo, mesh)
     correct = 0
     total = 0
     all_probs = []
@@ -157,7 +161,11 @@ def evaluate(model, data, *, batch_size, num_monte_carlo=20,
                         shuffle=False)
     t0 = time.time()
     for xb, yb in loader.epoch(0):
-        probs = eval_fn(model, jnp.asarray(xb))  # (MC, B, C)
+        xb_d = jnp.asarray(xb)
+        if mesh is not None:
+            from bayesian_torch_tpu.parallel import shard_batch
+            xb_d = shard_batch(xb_d, mesh)
+        probs = eval_fn(model, xb_d)  # (MC, B, C)
         mean_probs = np.asarray(probs.mean(axis=0))
         correct += int((mean_probs.argmax(1) == yb).sum())
         total += xb.shape[0]

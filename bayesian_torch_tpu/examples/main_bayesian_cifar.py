@@ -43,6 +43,10 @@ def build_parser(desc="Bayesian CIFAR10"):
     p.add_argument("--delta", type=float, default=0.2)
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--mesh-mc", type=int, default=1,
+                   help="mesh slots for the MC axis (rest go to data); "
+                        "the canonical eval config (bs=1000, mc=50) "
+                        "benefits from sharding MC draws across chips")
     return p
 
 
@@ -67,6 +71,12 @@ def run(args, estimator="Reparameterization"):
     tag = "flipout" if estimator == "Flipout" else "bayesian"
     ckpt_path = os.path.join(args.save_dir, f"cifar_{tag}_{args.arch}")
 
+    mesh = None
+    if getattr(args, "mesh_mc", 1) > 1:
+        from bayesian_torch_tpu.parallel import make_mesh
+        mesh = make_mesh(mc=args.mesh_mc)
+        print(f"mesh: {dict(mesh.shape)}")
+
     if args.moped:
         from bayesian_torch_tpu.models.deterministic import resnet as det_zoo
         det = getattr(det_zoo, args.arch)(
@@ -80,11 +90,13 @@ def run(args, estimator="Reparameterization"):
             model, optax.adam(lr_schedule(args.lr, args.epochs)),
             wrt=nnx.Param)
         engine.train(model, optimizer, train_data, epochs=args.epochs,
-                     batch_size=args.batch_size, num_mc=args.num_mc)
+                     batch_size=args.batch_size, num_mc=args.num_mc,
+                     mesh=mesh)
         model.eval()
         metrics = engine.evaluate(model, test_data,
                                   batch_size=args.test_batch_size,
-                                  num_monte_carlo=args.num_monte_carlo)
+                                  num_monte_carlo=args.num_monte_carlo,
+                                  mesh=mesh)
         save_checkpoint(model, ckpt_path)
         engine.save_metrics(metrics, os.path.join(
             args.save_dir, f"cifar_{tag}_metrics.json"))
@@ -93,7 +105,7 @@ def run(args, estimator="Reparameterization"):
         model.eval()
         engine.evaluate(
             model, test_data, batch_size=args.test_batch_size,
-            num_monte_carlo=args.num_monte_carlo,
+            num_monte_carlo=args.num_monte_carlo, mesh=mesh,
             save_probs_to=os.path.join(args.save_dir,
                                        f"probs_cifar_{tag}_mc.npy"))
 

@@ -39,6 +39,8 @@ def build_parser():
                    help="use synthetic data (no-network environments)")
     p.add_argument("--tensorboard", action="store_true",
                    help="log scalars to <save_dir>/tb")
+    p.add_argument("--mesh-mc", type=int, default=1,
+                   help="mesh slots for the MC axis (rest go to data)")
     return p
 
 
@@ -48,6 +50,12 @@ def main(argv=None):
 
     model = SCNN(rngs=nnx.Rngs(params=args.seed, noise=args.seed + 1))
     ckpt_path = os.path.join(args.save_dir, "mnist_bayesian_scnn")
+
+    mesh = None
+    if args.mesh_mc > 1:
+        from bayesian_torch_tpu.parallel import make_mesh
+        mesh = make_mesh(mc=args.mesh_mc)
+        print(f"mesh: {dict(mesh.shape)}")
 
     if args.mode == "train":
         model.train()
@@ -59,12 +67,13 @@ def main(argv=None):
                                   wrt=nnx.Param)
         engine.train(model, optimizer, train_data, epochs=args.epochs,
                      batch_size=args.batch_size, num_mc=args.num_mc,
-                     writer=writer)
+                     writer=writer, mesh=mesh)
         model.eval()
         metrics = engine.evaluate(model, test_data,
                                   batch_size=args.test_batch_size,
                                   num_monte_carlo=args.num_monte_carlo,
-                                  writer=writer, epoch=args.epochs)
+                                  writer=writer, epoch=args.epochs,
+                                  mesh=mesh)
         save_checkpoint(model, ckpt_path)
         engine.save_metrics(metrics, os.path.join(args.save_dir,
                                                   "mnist_metrics.json"))
@@ -73,7 +82,7 @@ def main(argv=None):
         model.eval()
         engine.evaluate(
             model, test_data, batch_size=args.test_batch_size,
-            num_monte_carlo=args.num_monte_carlo,
+            num_monte_carlo=args.num_monte_carlo, mesh=mesh,
             save_probs_to=os.path.join(args.save_dir,
                                        "probs_mnist_mc.npy"))
 

@@ -126,7 +126,7 @@ def _presample_layers(model, num_mc):
 def mc_forward(model: nnx.Module, x, num_mc: int, *,
                mesh: Optional[Mesh] = None, return_kl: bool = True,
                compute_kl: Optional[bool] = None,
-               presample: str = "off"):
+               presample: str = "off", bn_stats: str = "ema"):
     """Run ``num_mc`` stochastic forwards as one vmapped computation.
 
     Returns ``(outputs, kl)`` with outputs stacked on a leading MC axis
@@ -138,6 +138,19 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
     same scalar for every draw; it is returned unstacked. Pass
     ``return_kl=False`` (pure inference) to also skip evaluating the
     closed-form KL entirely; ``compute_kl`` overrides that linkage.
+
+    ``bn_stats`` controls BatchNorm running statistics when
+    ``num_mc > 1`` in training mode (running-stat writes inside the
+    vmap are ill-defined: the stats are broadcast state):
+
+    - ``"ema"`` (default): every draw records its batch (mean, var)
+      into an MC-mapped accumulator; after the vmap the draws are
+      averaged and ONE standard EMA update is applied. Same momentum
+      semantics as a plain forward, lower-variance statistics, and no
+      extra forward pass (the reference's MC loop updates stats once
+      per model call, main_bayesian_mnist.py:27-32).
+    - ``"freeze"``: leave running stats untouched (round-1 behavior;
+      callers then refresh stats themselves).
     """
     if compute_kl is None:
         compute_kl = return_kl
@@ -159,7 +172,8 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
     try:
         if use_presample:
             presampled = _presample_layers(model, num_mc)
-        return _mc_forward_inner(model, x, num_mc, mesh, return_kl)
+        return _mc_forward_inner(model, x, num_mc, mesh, return_kl,
+                                 bn_stats)
     finally:
         for layer, attrs in presampled:
             for a in attrs:
@@ -168,7 +182,24 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
             mod.compute_kl = True
 
 
-def _mc_forward_inner(model, x, num_mc, mesh, return_kl):
+def _apply_bn_ema(mod):
+    """Average the collected per-draw batch stats and apply one EMA
+    update (identical factor semantics to the in-layer path)."""
+    stats = mod._mc_stats[...]  # (num_mc, 2, C)
+    mean = stats[:, 0].mean(axis=0)
+    unbiased_var = stats[:, 1].mean(axis=0)
+    mod.num_batches_tracked[...] = mod.num_batches_tracked[...] + 1
+    if mod.momentum is None:
+        factor = 1.0 / mod.num_batches_tracked[...].astype(jnp.float32)
+    else:
+        factor = mod.momentum
+    mod.running_mean[...] = ((1 - factor) * mod.running_mean[...]
+                             + factor * mean)
+    mod.running_var[...] = ((1 - factor) * mod.running_var[...]
+                            + factor * unbiased_var)
+
+
+def _mc_forward_inner(model, x, num_mc, mesh, return_kl, bn_stats="ema"):
     if num_mc == 1:
         # plain forward (exact reference semantics incl. BN stat updates)
         out = model(x)
@@ -180,7 +211,9 @@ def _mc_forward_inner(model, x, num_mc, mesh, return_kl):
         from bayesian_torch_tpu.layers.base_variational_layer import (
             Presampled,
         )
-        state_axes = nnx.StateAxes({"noise": 0, Presampled: 0, ...: None})
+        from bayesian_torch_tpu.layers.batchnorm import MCBatchStats
+        state_axes = nnx.StateAxes({"noise": 0, Presampled: 0,
+                                    MCBatchStats: 0, ...: None})
 
         @nnx.split_rngs(splits=num_mc, only="noise")
         @nnx.vmap(in_axes=(state_axes, None), out_axes=0)
@@ -193,17 +226,30 @@ def _mc_forward_inner(model, x, num_mc, mesh, return_kl):
         # Freeze BN running-stat writes during the vmapped run: mutating
         # broadcast state under vmap is ill-defined. Batch statistics are
         # still used for normalization in training mode. (This is a
-        # static trace-time toggle.)
+        # static trace-time toggle.) With bn_stats="ema", each draw
+        # instead records its batch stats into an MC-mapped accumulator
+        # and one EMA update is applied after the vmap.
         frozen = []
+        collecting = []
         for _, mod in nnx.iter_modules(model):
             if getattr(mod, "stats_frozen", None) is False:
                 mod.stats_frozen = True
                 frozen.append(mod)
+                if (bn_stats == "ema" and mod.training
+                        and mod.track_running_stats):
+                    mod._mc_stats = MCBatchStats(
+                        jnp.zeros((num_mc, 2, mod.num_features),
+                                  jnp.float32))
+                    collecting.append(mod)
         try:
             outs, kls = _run(model, x)
+            for mod in collecting:
+                _apply_bn_ema(mod)
         finally:
             for mod in frozen:
                 mod.stats_frozen = False
+            for mod in collecting:
+                del mod._mc_stats
     if mesh is not None:
         outs = jax.lax.with_sharding_constraint(
             outs, NamedSharding(mesh, P("mc", "data")))
