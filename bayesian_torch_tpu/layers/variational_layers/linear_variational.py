@@ -137,9 +137,9 @@ class LinearReparameterization(BaseVariationalLayer):
                                      self.compute_dtype)
         elif (self.impl == "pallas" and eps_w is None and eps_b is None):
             # fused sample-then-GEMM: the sampled W never exists in HBM
-            # (ops/pallas/sampled_matmul.py). Note: incompatible with the
-            # vmapped MC axis (pallas_call has no batching rule) — use
-            # for non-vmapped forwards.
+            # (ops/pallas/sampled_matmul.py). Composes with the vmapped
+            # MC axis: a custom_vmap rule dispatches one S-batched
+            # kernel for all draws.
             import jax
             from bayesian_torch_tpu.ops.pallas.sampled_matmul import (
                 sampled_matmul_pallas,
