@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 from flax import nnx
 
@@ -36,3 +37,91 @@ def load_checkpoint(model: nnx.Module, path: str) -> None:
                                  target=nnx.to_pure_dict(state))
     nnx.replace_by_pure_dict(state, restored)
     nnx.update(model, state)
+
+
+def _torch_key_for(path) -> str:
+    """Render an nnx state path as a torch ``state_dict`` key.
+
+    Our ``nn.Sequential`` stores children as ``_0``, ``_1``, ... — the
+    torch key uses the bare index (``layer1.0.conv1.mu_kernel``)."""
+    parts = []
+    for p in path:
+        p = str(p)
+        if p.startswith("_") and p[1:].isdigit():
+            p = p[1:]
+        parts.append(p)
+    return ".".join(parts)
+
+
+def import_torch_state_dict(model: nnx.Module, state_dict, *,
+                            strict: bool = True):
+    """Load a reference (IntelLabs/bayesian-torch) torch ``state_dict``
+    into an nnx model in place.
+
+    This is the migration shim for users holding reference checkpoints
+    (loaded in the reference at
+    main_bayesian_imagenet_bnn2qbnn.py:279-283 and restored via
+    ``load_state_dict`` in every example trainer). Weight layouts
+    already match (torch-layout ``mu_kernel``/``mu_weight`` etc.), so
+    the mapping is purely by name:
+
+    - ``module.`` (DataParallel) prefixes are stripped;
+    - a full checkpoint dict (``{'state_dict': ..., 'epoch': ...}``,
+      the reference's --resume format, main_bayesian_cifar.py:204-215)
+      is unwrapped automatically;
+    - numeric path components index our ``nn.Sequential`` children;
+    - prior buffers are absent from reference checkpoints (registered
+      ``persistent=False``, linear_variational.py:90-98) and are NOT
+      expected.
+
+    ``state_dict`` may be a mapping name -> tensor/ndarray or a path to
+    a ``torch.save`` file. Returns ``(missing_keys, unexpected_keys)``
+    like torch's ``load_state_dict``; with ``strict=True`` (default)
+    raises ``ValueError`` if either is non-empty or any shape mismatches.
+    """
+    import numpy as np
+
+    if isinstance(state_dict, (str, os.PathLike)):
+        import torch
+        state_dict = torch.load(_abspath(str(state_dict)),
+                                map_location="cpu", weights_only=False)
+    if "state_dict" in state_dict and not hasattr(
+            state_dict["state_dict"], "shape"):
+        state_dict = state_dict["state_dict"]
+
+    entries = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if hasattr(v, "detach"):  # torch tensor
+            v = v.detach().cpu().numpy()
+        entries[k] = np.asarray(v)
+
+    state = nnx.state(model, nnx.Any(nnx.Param, nnx.BatchStat))
+    flat = dict(nnx.to_flat_state(state))
+    by_torch_key = {_torch_key_for(path): (path, var)
+                    for path, var in flat.items()}
+
+    missing = sorted(set(by_torch_key) - set(entries))
+    unexpected = sorted(set(entries) - set(by_torch_key))
+    errors = []
+    for key in sorted(set(entries) & set(by_torch_key)):
+        _, var = by_torch_key[key]
+        val = entries[key]
+        cur = var.value
+        if tuple(val.shape) != tuple(cur.shape):
+            errors.append(f"{key}: shape {tuple(val.shape)} vs model "
+                          f"{tuple(cur.shape)}")
+            continue
+        var.value = jnp.asarray(val, dtype=cur.dtype)
+    nnx.update(model, state)
+
+    if strict and (missing or unexpected or errors):
+        raise ValueError(
+            "import_torch_state_dict mismatch:\n"
+            + (f"  missing keys: {missing}\n" if missing else "")
+            + (f"  unexpected keys: {unexpected}\n" if unexpected else "")
+            + (f"  shape errors: {errors}\n" if errors else ""))
+    if errors:
+        raise ValueError(f"shape errors: {errors}")
+    return missing, unexpected

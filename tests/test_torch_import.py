@@ -1,0 +1,141 @@
+"""Torch state_dict import shim (utils.checkpoint.import_torch_state_dict).
+
+Migration path for users holding reference checkpoints: a state_dict
+saved from the reference model loads into our nnx twin by name (the
+reference loads these at main_bayesian_imagenet_bnn2qbnn.py:279-283).
+"""
+
+import numpy as np
+import pytest
+from flax import nnx
+
+from bayesian_torch_tpu.utils.checkpoint import import_torch_state_dict
+from tests import reference_oracle as oracle
+
+pytestmark = pytest.mark.skipif(not oracle.reference_available(),
+                                reason="no reference mounted")
+
+
+def _force_rho(ref_model, value=-100.0):
+    import torch
+    with torch.no_grad():
+        for name, p in ref_model.named_parameters():
+            if "rho" in name:
+                p.fill_(value)
+
+
+def test_import_scnn_state_dict_forward_parity():
+    """Reference SCNN checkpoint -> our SCNN: every key consumed, and
+    (with sigma ~ 0) forward outputs match the reference."""
+    import jax.numpy as jnp
+    import torch
+
+    oracle.import_reference()
+    from bayesian_torch.models.bayesian.simple_cnn_variational import (
+        SCNN as RefSCNN)
+
+    from bayesian_torch_tpu.models.bayesian.simple_cnn_variational import (
+        SCNN)
+
+    ref = RefSCNN()
+    _force_rho(ref)
+    ref.eval()
+    sd = ref.state_dict()
+
+    ours = SCNN(rngs=nnx.Rngs(params=7, noise=8))
+    missing, unexpected = import_torch_state_dict(ours, sd)
+    assert missing == [] and unexpected == []
+    ours.eval()
+
+    np.testing.assert_array_equal(
+        np.asarray(ours.conv1.mu_kernel[...]),
+        ref.conv1.mu_kernel.detach().numpy())
+
+    x = np.random.RandomState(0).randn(4, 1, 28, 28).astype(np.float32)
+    out_ours, _ = ours(jnp.asarray(x))
+    with torch.no_grad():
+        out_ref, _ = ref(oracle.to_torch(x))
+    np.testing.assert_allclose(np.asarray(out_ours),
+                               out_ref.detach().numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_import_resnet20_state_dict_with_bn_stats():
+    """Reference resnet20 (BN layers incl. running stats + Sequential
+    numeric paths) imports completely and matches forward outputs."""
+    import jax.numpy as jnp
+    import torch
+
+    oracle.import_reference()
+    from bayesian_torch.models.bayesian.resnet_variational import (
+        resnet20 as ref_resnet20)
+
+    from bayesian_torch_tpu.models.bayesian.resnet_variational import (
+        resnet20)
+
+    ref = ref_resnet20()
+    _force_rho(ref)
+    # make BN running stats non-trivial so the import is observable
+    ref.train()
+    with torch.no_grad():
+        ref(torch.randn(8, 3, 32, 32))
+    ref.eval()
+    sd = ref.state_dict()
+
+    ours = resnet20(rngs=nnx.Rngs(params=3, noise=4))
+    missing, unexpected = import_torch_state_dict(ours, sd)
+    assert missing == [] and unexpected == []
+    ours.eval()
+
+    np.testing.assert_allclose(
+        np.asarray(ours.layer1[0].bn1.running_mean[...]),
+        ref.layer1[0].bn1.running_mean.numpy(), rtol=1e-6)
+
+    x = np.random.RandomState(1).randn(4, 3, 32, 32).astype(np.float32)
+    out_ours, _ = ours(jnp.asarray(x))
+    with torch.no_grad():
+        out_ref, _ = ref(oracle.to_torch(x))
+    np.testing.assert_allclose(np.asarray(out_ours),
+                               out_ref.detach().numpy(),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_import_wrapped_checkpoint_and_dataparallel_prefix(tmp_path):
+    """The reference --resume format ({'state_dict': ...}) with
+    DataParallel 'module.' prefixes loads via a torch.save file path."""
+    import torch
+
+    oracle.import_reference()
+    from bayesian_torch.models.bayesian.simple_cnn_variational import (
+        SCNN as RefSCNN)
+
+    from bayesian_torch_tpu.models.bayesian.simple_cnn_variational import (
+        SCNN)
+
+    ref = RefSCNN()
+    sd = {"module." + k: v for k, v in ref.state_dict().items()}
+    ckpt = {"epoch": 3, "state_dict": sd, "best_acc": 0.9}
+    path = tmp_path / "ref_ckpt.pth"
+    torch.save(ckpt, str(path))
+
+    ours = SCNN(rngs=nnx.Rngs(params=7, noise=8))
+    missing, unexpected = import_torch_state_dict(ours, str(path))
+    assert missing == [] and unexpected == []
+    np.testing.assert_array_equal(
+        np.asarray(ours.fc2.mu_weight[...]),
+        ref.fc2.mu_weight.detach().numpy())
+
+
+def test_import_strict_raises_on_unknown_key():
+    oracle.import_reference()
+    from bayesian_torch_tpu.models.bayesian.simple_cnn_variational import (
+        SCNN)
+
+    ours = SCNN(rngs=nnx.Rngs(params=0, noise=1))
+    with pytest.raises(ValueError, match="unexpected"):
+        import_torch_state_dict(ours, {"bogus.key": np.zeros(3)})
+    # non-strict: reported, not raised
+    missing, unexpected = import_torch_state_dict(
+        ours, {"bogus.key": np.zeros(3)}, strict=False)
+    assert unexpected == ["bogus.key"]
+    assert "conv1.mu_kernel" in missing
