@@ -22,8 +22,14 @@ the same setattr recursion the reference uses on torch modules
 
 - this framework's deterministic ``bayesian_torch_tpu.nn`` modules
   (Linear/Conv*/ConvTranspose*/LSTM) - the primary path;
-- ``flax.nnx.Linear`` and ``flax.nnx.Conv`` (kernel layouts transposed,
-  NHWC data_format configured automatically).
+- ``flax.nnx.Linear``, ``flax.nnx.Conv`` and ``flax.nnx.ConvTranspose``
+  (kernel layouts transposed, NHWC data_format configured
+  automatically, flax 'SAME'/'VALID' padding translated to the
+  equivalent torch padding/output_padding geometry);
+- ``flax.nnx.RNN`` wrapping an LSTM cell, and bare
+  ``nnx.LSTMCell``/``nnx.OptimizedLSTMCell`` (both become the
+  full-sequence Bayesian LSTM twin with the reference's torch-style
+  ``(seq, (h_seq, c_seq))`` return contract — callers must unpack).
 
 Deviations from the reference, by design:
 - ``output_padding`` IS forwarded for transposed convs (the reference
@@ -89,6 +95,51 @@ def bnn_linear_layer(params, d):
     return bnn_layer
 
 
+def _flax_ct_geometry(d, nd):
+    """Translate flax ConvTranspose geometry to torch conv-transpose
+    (padding, output_padding).
+
+    torch output: (i-1)*s - 2p + dil*(k-1) + op + 1; flax 'SAME'
+    produces i*s and 'VALID' produces i*s + max(dil*(k-1) - s, 0).
+    Solving per spatial dim gives a closed form independent of i.
+    """
+    strides = d.strides or 1
+    dil = d.kernel_dilation or 1
+    ks = d.kernel_size
+    s_t = (strides,) * nd if isinstance(strides, int) else tuple(strides)
+    d_t = (dil,) * nd if isinstance(dil, int) else tuple(dil)
+
+    if d.padding == "VALID":
+        return 0, 0, strides, dil
+    if d.padding == "SAME":
+        pads = []
+        for k, s, di in zip(ks, s_t, d_t):
+            tot = di * (k - 1) + 1 - s  # total crop; flax splits it
+            # floor-left/ceil-right, torch only crops symmetrically
+            if tot < 0 or tot % 2:
+                raise ValueError(
+                    "flax ConvTranspose SAME with kernel/stride/dilation "
+                    f"({k}/{s}/{di}) crops asymmetrically; torch "
+                    "conv-transpose geometry cannot represent it — "
+                    "rebuild the layer with explicit symmetric padding "
+                    "before dnn_to_bnn")
+            pads.append(tot // 2)
+        return tuple(pads), 0, strides, dil
+    # explicit numeric padding: symmetric ints only
+    pad = d.padding
+    if isinstance(pad, int):
+        return pad, 0, strides, dil
+    pads = []
+    for pp in pad:
+        lo, hi = (pp, pp) if isinstance(pp, int) else pp
+        if lo != hi:
+            raise ValueError(
+                "asymmetric flax ConvTranspose padding has no torch "
+                "conv-transpose equivalent")
+        pads.append(lo)
+    return tuple(pads), 0, strides, dil
+
+
 def bnn_conv_layer(params, d):
     """Replace a deterministic conv with its Bayesian twin.
 
@@ -97,7 +148,37 @@ def bnn_conv_layer(params, d):
     """
     cls_name = type(d).__name__
     is_flax = cls_name == "Conv"  # nnx.Conv
-    if is_flax:
+    if cls_name == "ConvTranspose":  # nnx.ConvTranspose
+        nd = len(d.kernel_size)
+        layer_type = f"ConvTranspose{nd}d" + params["type"]
+        has_bias = d.use_bias
+        padding, output_padding, strides, dil = _flax_ct_geometry(d, nd)
+        kwargs = dict(
+            in_channels=d.in_features,
+            out_channels=d.out_features,
+            kernel_size=d.kernel_size,
+            stride=strides,
+            padding=padding,
+            output_padding=output_padding,
+            dilation=dil,
+            data_format="NHWC",
+        )
+        kernel = d.kernel[...]
+        if getattr(d, "transpose_kernel", False):
+            # (*k, out, in) -> (in, out, *k); flax flips spatially in
+            # this mode, matching torch's gradient-style transpose
+            perm = (nd + 1, nd) + tuple(range(nd))
+            weight = jnp.transpose(kernel, perm)
+        else:
+            # (*k, in, out) -> (in, out, *k); flax does NOT flip the
+            # kernel in this mode while torch conv_transpose does, so
+            # mirror the spatial axes to preserve the function
+            perm = (nd, nd + 1) + tuple(range(nd))
+            weight = jnp.transpose(kernel, perm)
+            weight = weight[(slice(None), slice(None))
+                            + (slice(None, None, -1),) * nd]
+        bias = d.bias[...] if has_bias else None
+    elif is_flax:
         nd = len(d.kernel_size)
         layer_type = f"Conv{nd}d" + params["type"]
         has_bias = d.use_bias
@@ -150,20 +231,34 @@ def bnn_conv_layer(params, d):
 
 
 def bnn_lstm_layer(params, d):
-    """Replace a deterministic LSTM with its Bayesian twin.
+    """Replace a deterministic LSTM (ours, an ``nnx.RNN`` over an LSTM
+    cell, or a bare ``nnx.LSTMCell``/``OptimizedLSTMCell``) with the
+    Bayesian full-sequence LSTM twin.
 
     Reference: dnn_to_bnn.py:106-122 (MOPED unsupported, warning only).
     """
-    layer_type = type(d).__name__ + params["type"]
+    cell = d.cell if isinstance(d, nnx.RNN) else d
+    in_features = getattr(cell, "input_size",
+                          getattr(cell, "in_features", None))
+    hidden = getattr(cell, "hidden_size",
+                     getattr(cell, "hidden_features", None))
+    if in_features is None or hidden is None:
+        raise ValueError(
+            f"cannot infer LSTM geometry from {type(d).__name__}")
+    if hasattr(cell, "bias"):
+        has_bias = cell.bias is not None
+    else:
+        has_bias = True  # flax LSTM cells always carry gate biases
+    layer_type = "LSTM" + params["type"]
     layer_fn = getattr(bayesian_layers, layer_type)
     bnn_layer = layer_fn(
-        in_features=d.input_size,
-        out_features=d.hidden_size,
+        in_features=in_features,
+        out_features=hidden,
         prior_mean=params["prior_mu"],
         prior_variance=params["prior_sigma"],
         posterior_mu_init=params["posterior_mu_init"],
         posterior_rho_init=params["posterior_rho_init"],
-        bias=d.bias is not None,
+        bias=has_bias,
     )
     if params.get("moped_enable", False):
         print("WARNING: MOPED method is not supported for LSTM layers!!!")
@@ -188,14 +283,22 @@ def dnn_to_bnn(m: nnx.Module, bnn_prior_parameters: dict) -> None:
         if isinstance(value, BaseVariationalLayer):
             continue  # already Bayesian
         cls_name = type(value).__name__
-        if _has_module_children(value):
+        if isinstance(value, nnx.RNN):
+            # replace the whole recurrence (cell included) when the
+            # cell is an LSTM; other cell types recurse as usual
+            if "LSTM" in type(value.cell).__name__:
+                setattr(m, name, bnn_lstm_layer(bnn_prior_parameters,
+                                                value))
+            else:
+                dnn_to_bnn(value, bnn_prior_parameters)
+        elif "LSTM" in cls_name:
+            setattr(m, name, bnn_lstm_layer(bnn_prior_parameters, value))
+        elif _has_module_children(value):
             dnn_to_bnn(value, bnn_prior_parameters)
         elif "Conv" in cls_name:
             setattr(m, name, bnn_conv_layer(bnn_prior_parameters, value))
         elif "Linear" in cls_name:
             setattr(m, name, bnn_linear_layer(bnn_prior_parameters, value))
-        elif "LSTM" in cls_name:
-            setattr(m, name, bnn_lstm_layer(bnn_prior_parameters, value))
     return None
 
 

@@ -152,3 +152,111 @@ def test_nnx_linear_and_conv_conversion():
                                np.asarray(jax.nn.relu(ref_conv(x)) * 0
                                           + ref_conv(x)), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_nnx_convtranspose_conversion_preserves_function():
+    """nnx.ConvTranspose (SAME, stride 1) -> ConvTranspose2dReparam:
+    geometry translated (symmetric crop -> torch padding), weights
+    MOPED-copied with the layout/flip correction, mu-forward equal."""
+    ct = nnx.ConvTranspose(3, 5, (3, 3), padding="SAME",
+                           rngs=nnx.Rngs(0))
+
+    class Net(nnx.Module):
+        def __init__(self, ct):
+            self.up = ct
+
+        def __call__(self, x):
+            return self.up(x)
+
+    net = Net(ct)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 4, 3),
+                    jnp.float32)
+    det_out = np.asarray(net(x))
+    params = dict(CONST_BNN_PRIOR_PARAMETERS, moped_enable=True,
+                  moped_delta=0.5)
+    dnn_to_bnn(net, params)
+    assert type(net.up).__name__ == "ConvTranspose2dReparameterization"
+    assert net.up.data_format == "NHWC"
+    out_mu = net.up(x, eps_k=jnp.zeros(net.up.mu_kernel.shape),
+                    eps_b=jnp.zeros(net.up.mu_bias.shape))
+    assert out_mu.shape == det_out.shape  # SAME stride-1: (2, 4, 4, 5)
+    np.testing.assert_allclose(np.asarray(out_mu), det_out, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_nnx_convtranspose_same_stride2_raises():
+    """SAME + even stride crops asymmetrically in flax — no exact torch
+    geometry; the conversion must refuse loudly, not silently drift."""
+    import pytest
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.up = nnx.ConvTranspose(3, 5, (3, 3), strides=(2, 2),
+                                        padding="SAME", rngs=nnx.Rngs(0))
+
+        def __call__(self, x):
+            return self.up(x)
+
+    net = Net()
+    with pytest.raises(ValueError, match="asymmetric"):
+        dnn_to_bnn(net, dict(CONST_BNN_PRIOR_PARAMETERS))
+
+
+def test_nnx_convtranspose_valid_padding():
+    ct = nnx.ConvTranspose(3, 4, (3, 3), padding="VALID", rngs=nnx.Rngs(1))
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.up = ct
+
+        def __call__(self, x):
+            return self.up(x)
+
+    net = Net()
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 5, 5, 3),
+                    jnp.float32)
+    det_out = np.asarray(net(x))
+    dnn_to_bnn(net, dict(CONST_BNN_PRIOR_PARAMETERS, moped_enable=True,
+                         moped_delta=0.5))
+    out_mu = net.up(x, eps_k=jnp.zeros(net.up.mu_kernel.shape),
+                    eps_b=jnp.zeros(net.up.mu_bias.shape))
+    np.testing.assert_allclose(np.asarray(out_mu), det_out, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_nnx_rnn_lstm_conversion():
+    """nnx.RNN over an LSTM cell becomes the full-sequence Bayesian
+    LSTM (torch-style return contract); bare cells convert too."""
+
+    class Net(nnx.Module):
+        def __init__(self, rngs):
+            self.rnn = nnx.RNN(nnx.OptimizedLSTMCell(6, 12, rngs=rngs))
+            self.head = nnx.Linear(12, 3, rngs=rngs)
+
+        def __call__(self, x):
+            seq = self.rnn(x)
+            return self.head(seq[:, -1])
+
+    net = Net(nnx.Rngs(0))
+    dnn_to_bnn(net, dict(CONST_BNN_PRIOR_PARAMETERS))
+    assert type(net.rnn).__name__ == "LSTMReparameterization"
+    assert net.rnn.ih.in_features == 6
+    assert net.rnn.ih.out_features == 48  # 4*hidden
+    # converted module follows the torch LSTM contract: (seq, (h, c))
+    x = jnp.ones((2, 7, 6))
+    seq, (h, c) = net.rnn(x)
+    assert seq.shape == (2, 7, 12)
+    kl = get_kl_loss(net)
+    assert float(kl) > 0
+
+    class CellNet(nnx.Module):
+        def __init__(self, rngs):
+            self.cell = nnx.LSTMCell(4, 8, rngs=rngs)
+
+        def __call__(self, x):
+            return x
+
+    cn = CellNet(nnx.Rngs(1))
+    dnn_to_bnn(cn, dict(CONST_BNN_PRIOR_PARAMETERS, type="Flipout"))
+    assert type(cn.cell).__name__ == "LSTMFlipout"
+    assert cn.cell.hh.in_features == 8
