@@ -1,5 +1,21 @@
-"""Alias of the canonical implementation (reference keeps a legacy copy
-under ao/nn/quantized/modules/quantize_linear_variational.py)."""
+"""Legacy ao/nn/quantized/modules semantics (reference keeps older
+snapshots of the quantized layers here; the diffs that matter:
+default_scale=0.1 vs 0.2, int8-quantized bias, and no quant_dict
+calibrated path — reference
+ao/nn/quantized/modules/quantize_linear_variational.py:83,133).
 
-from bayesian_torch_tpu.layers.variational_layers.quantize_linear_variational import *  # noqa: F401,F403
-from bayesian_torch_tpu.layers.variational_layers.quantize_linear_variational import __all__  # noqa: F401
+These are REAL subclasses pinning ``legacy_ao = True`` on the shared
+quantized base, not aliases: ``quantize()`` round-trips the bias
+through int8 and ``forward`` always takes the default-scale path with
+default_scale=0.1.
+"""
+
+from bayesian_torch_tpu.layers.variational_layers.quantize_linear_variational import (  # noqa: F401
+    QuantizedLinearReparameterization as _QuantizedLinearReparameterization,
+)
+
+__all__ = ["QuantizedLinearReparameterization"]
+
+
+class QuantizedLinearReparameterization(_QuantizedLinearReparameterization):
+    legacy_ao = True

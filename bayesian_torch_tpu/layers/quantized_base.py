@@ -56,6 +56,12 @@ class _QuantizedLayerBase(BaseVariationalLayer):
     is_conv = False
     nd = 2
     transposed = False
+    # legacy ao/nn/quantized/modules semantics (reference keeps older
+    # snapshots there): default_scale=0.1 (vs 0.2), the bias IS
+    # int8-quantized at quantize() time (an int8 round-trip before the
+    # fp32 draw), and there is no quant_dict calibrated path
+    # (ao/nn/quantized/modules/quantize_linear_variational.py:83,133)
+    legacy_ao = False
 
     # ---- construction ------------------------------------------------
 
@@ -105,13 +111,23 @@ class _QuantizedLayerBase(BaseVariationalLayer):
             sigma_b = sigma_from_rho(self.rho_bias[...])
             if getattr(self, "bn_weight", None) is not None:
                 coef = self._bn_coef()
-                self.quantized_mu_bias = QuantParam(
-                    (mu_b - self.bn_running_mean[...]) * coef
-                    + self.bn_bias[...])
-                self.quantized_sigma_bias = QuantParam(sigma_b * coef)
-            else:
-                self.quantized_mu_bias = QuantParam(mu_b)
-                self.quantized_sigma_bias = QuantParam(sigma_b)
+                mu_b = (mu_b - self.bn_running_mean[...]) * coef \
+                    + self.bn_bias[...]
+                sigma_b = sigma_b * coef
+            if self.legacy_ao:
+                # legacy ao/ modules quantize the bias too (int8
+                # round-trip; reference ao/.../quantize_linear_
+                # variational.py:115-124 quantizes mu_bias/sigma_bias)
+                sb_mu = jnp.where(q.symmetric_scale(mu_b) == 0, 0.1,
+                                  q.symmetric_scale(mu_b))
+                sb_sig = jnp.where(q.symmetric_scale(sigma_b) == 0, 0.1,
+                                   q.symmetric_scale(sigma_b))
+                mu_b = q.quantize_int8(mu_b, sb_mu).astype(
+                    jnp.float32) * sb_mu
+                sigma_b = q.quantize_int8(sigma_b, sb_sig).astype(
+                    jnp.float32) * sb_sig
+            self.quantized_mu_bias = QuantParam(mu_b)
+            self.quantized_sigma_bias = QuantParam(sigma_b)
         elif getattr(self, "bn_weight", None) is not None:
             # conv had no bias; BN folding creates one
             coef = self._bn_coef()
@@ -173,7 +189,8 @@ class _QuantizedLayerBase(BaseVariationalLayer):
         s_sigma = self.sigma_weight_scale[...]
         s_mu = self.mu_weight_scale[...]
 
-        if self.quant_dict is not None:
+        # legacy ao/ classes predate the calibrated quant_dict path
+        if self.quant_dict is not None and not self.legacy_ao:
             s0, z0 = self._qd(0)   # eps
             s1, z1 = self._qd(1)   # sigma*eps
             s2, z2 = self._qd(2)   # weight
@@ -213,7 +230,7 @@ class _QuantizedLayerBase(BaseVariationalLayer):
         s_sigma = self.sigma_weight_scale[...]
         s_mu = self.mu_weight_scale[...]
 
-        if self.quant_dict is not None:
+        if self.quant_dict is not None and not self.legacy_ao:
             # quant_dict: [eps, delta, x, outputs, sign_in, sign_out,
             #              x_tmp, pert_tmp, perturbed, out]
             # (reference quantized_linear_flipout.py:180-227)
@@ -296,10 +313,14 @@ class _QuantizedLayerBase(BaseVariationalLayer):
 
     def __call__(self, input, return_kl: bool = True, *,
                  normal_scale: float = 6 / 255,
-                 default_scale: float = 0.2,
+                 default_scale: Optional[float] = None,
                  default_zero_point: int = 128):
         if self.dnn_to_bnn_flag:
             return_kl = False
+        if default_scale is None:
+            # legacy ao/ modules use 0.1 ("by grid search"), the newer
+            # layers 0.2 (reference forward signatures :133 vs :134)
+            default_scale = 0.1 if self.legacy_ao else 0.2
         if self.estimator == "flipout":
             out = self._forward_flipout(input, normal_scale, default_scale,
                                         default_zero_point)
