@@ -45,12 +45,14 @@ class _BatchNormNdLayer(nnx.Module):
                  affine: bool = True,
                  track_running_stats: bool = True,
                  *,
-                 rngs: Optional[nnx.Rngs] = None):
+                 rngs: Optional[nnx.Rngs] = None,
+                 data_format: str = "NCHW"):
         self.num_features = num_features
         self.eps = eps
         self.momentum = momentum
         self.affine = affine
         self.track_running_stats = track_running_stats
+        self.data_format = data_format  # NCHW (torch) or NHWC/channels-last
         self.training = True
         # When True, batch statistics are still used for normalization in
         # training mode but running stats are NOT written. Set by
@@ -90,8 +92,12 @@ class _BatchNormNdLayer(nnx.Module):
         if x.ndim != self.nd + 2:
             raise ValueError(
                 f"expected {self.nd + 2}D input (got {x.ndim}D input)")
-        reduce_axes = (0,) + tuple(range(2, x.ndim))
-        shape = (1, -1) + (1,) * (x.ndim - 2)
+        if self.data_format == "NCHW":
+            reduce_axes = (0,) + tuple(range(2, x.ndim))
+            shape = (1, -1) + (1,) * (x.ndim - 2)
+        else:  # channels-last
+            reduce_axes = tuple(range(x.ndim - 1))
+            shape = (1,) * (x.ndim - 1) + (-1,)
 
         use_batch_stats = self.training or not self.track_running_stats
         if use_batch_stats:

@@ -31,10 +31,11 @@ posterior_mu_init = 0.0
 posterior_rho_init = -3.0
 
 
-def _layer_factories(estimator, rngs):
+def _layer_factories(estimator, rngs, data_format="NCHW"):
     if estimator is None:
         def conv(cin, cout, k, **kw):
-            return dnn.Conv2d(cin, cout, k, bias=False, rngs=rngs, **kw)
+            return dnn.Conv2d(cin, cout, k, bias=False, rngs=rngs,
+                              data_format=data_format, **kw)
 
         def linear(cin, cout):
             return dnn.Linear(cin, cout, rngs=rngs)
@@ -47,7 +48,8 @@ def _layer_factories(estimator, rngs):
                    posterior_rho_init=posterior_rho_init)
 
         def conv(cin, cout, k, **kw):
-            return Conv(cin, cout, k, bias=False, rngs=rngs, **bkw, **kw)
+            return Conv(cin, cout, k, bias=False, rngs=rngs,
+                        data_format=data_format, **bkw, **kw)
 
         def linear(cin, cout):
             return Lin(cin, cout, rngs=rngs, **bkw)
@@ -69,13 +71,13 @@ class BasicBlock(_Block):
     expansion = 1
 
     def __init__(self, inplanes, planes, stride=1, downsample=None, *,
-                 estimator, rngs):
-        conv, _ = _layer_factories(estimator, rngs)
+                 estimator, rngs, data_format="NCHW"):
+        conv, _ = _layer_factories(estimator, rngs, data_format)
         self.estimator = estimator
         self.conv1 = conv(inplanes, planes, 3, stride=stride, padding=1)
-        self.bn1 = dnn.BatchNorm2d(planes)
+        self.bn1 = dnn.BatchNorm2d(planes, data_format=data_format)
         self.conv2 = conv(planes, planes, 3, stride=1, padding=1)
-        self.bn2 = dnn.BatchNorm2d(planes)
+        self.bn2 = dnn.BatchNorm2d(planes, data_format=data_format)
         self.downsample = downsample
 
     def __call__(self, x):
@@ -100,15 +102,15 @@ class Bottleneck(_Block):
     expansion = 4
 
     def __init__(self, inplanes, planes, stride=1, downsample=None, *,
-                 estimator, rngs):
-        conv, _ = _layer_factories(estimator, rngs)
+                 estimator, rngs, data_format="NCHW"):
+        conv, _ = _layer_factories(estimator, rngs, data_format)
         self.estimator = estimator
         self.conv1 = conv(inplanes, planes, 1)
-        self.bn1 = dnn.BatchNorm2d(planes)
+        self.bn1 = dnn.BatchNorm2d(planes, data_format=data_format)
         self.conv2 = conv(planes, planes, 3, stride=stride, padding=1)
-        self.bn2 = dnn.BatchNorm2d(planes)
+        self.bn2 = dnn.BatchNorm2d(planes, data_format=data_format)
         self.conv3 = conv(planes, planes * 4, 1)
-        self.bn3 = dnn.BatchNorm2d(planes * 4)
+        self.bn3 = dnn.BatchNorm2d(planes * 4, data_format=data_format)
         self.downsample = downsample
 
     def __call__(self, x):
@@ -135,17 +137,20 @@ class Bottleneck(_Block):
 
 class LargeResNet(nnx.Module):
     def __init__(self, block_cls, layers, num_classes=1000, *,
-                 estimator=None, rngs: Optional[nnx.Rngs] = None):
+                 estimator=None, rngs: Optional[nnx.Rngs] = None,
+                 data_format: str = "NCHW"):
         if rngs is None:
             rngs = default_rngs()
-        conv, linear = _layer_factories(estimator, rngs)
+        conv, linear = _layer_factories(estimator, rngs, data_format)
         self.estimator = estimator
+        self.data_format = data_format
         self._rngs_for_init = rngs
 
         self.inplanes = 64
         self.conv1 = conv(3, 64, 7, stride=2, padding=3)
-        self.bn1 = dnn.BatchNorm2d(64)
-        self.maxpool = dnn.MaxPool2d(3, stride=2, padding=1)
+        self.bn1 = dnn.BatchNorm2d(64, data_format=data_format)
+        self.maxpool = dnn.MaxPool2d(3, stride=2, padding=1,
+                                     data_format=data_format)
         self.layer1 = self._make_layer(block_cls, 64, layers[0], 1,
                                        estimator, rngs)
         self.layer2 = self._make_layer(block_cls, 128, layers[1], 2,
@@ -154,7 +159,7 @@ class LargeResNet(nnx.Module):
                                        estimator, rngs)
         self.layer4 = self._make_layer(block_cls, 512, layers[3], 2,
                                        estimator, rngs)
-        self.avgpool = dnn.AdaptiveAvgPool2d(1)
+        self.avgpool = dnn.AdaptiveAvgPool2d(1, data_format=data_format)
         self.fc = linear(512 * block_cls.expansion, num_classes)
 
         if estimator is None:
@@ -162,25 +167,29 @@ class LargeResNet(nnx.Module):
 
     def _make_layer(self, block_cls, planes, blocks, stride, estimator,
                     rngs):
-        conv, _ = _layer_factories(estimator, rngs)
+        df = self.data_format
+        conv, _ = _layer_factories(estimator, rngs, df)
         downsample = None
         if stride != 1 or self.inplanes != planes * block_cls.expansion:
             # Bayesian downsample: Sequential(conv-bayes, BatchNorm2dLayer)
             # threading (x, kl) (resnet_variational_large.py:193-203)
-            bn = (BatchNorm2dLayer(planes * block_cls.expansion)
+            bn = (BatchNorm2dLayer(planes * block_cls.expansion,
+                                   data_format=df)
                   if estimator is not None
-                  else dnn.BatchNorm2d(planes * block_cls.expansion))
+                  else dnn.BatchNorm2d(planes * block_cls.expansion,
+                                       data_format=df))
             downsample = dnn.Sequential(
                 conv(self.inplanes, planes * block_cls.expansion, 1,
                      stride=stride),
                 bn,
             )
         mods = [block_cls(self.inplanes, planes, stride, downsample,
-                          estimator=estimator, rngs=rngs)]
+                          estimator=estimator, rngs=rngs, data_format=df)]
         self.inplanes = planes * block_cls.expansion
         for _ in range(1, blocks):
             mods.append(block_cls(self.inplanes, planes,
-                                  estimator=estimator, rngs=rngs))
+                                  estimator=estimator, rngs=rngs,
+                                  data_format=df))
         return dnn.Sequential(*mods)
 
     def _he_init(self, rngs):

@@ -223,14 +223,17 @@ class _PoolNd(nnx.Module):
     nd = 2
     op = "max"
 
-    def __init__(self, kernel_size, stride=None, padding=0):
+    def __init__(self, kernel_size, stride=None, padding=0, *,
+                 data_format: str = "NCHW"):
         self.kernel_size = kernel_size
         self.stride = stride
         self.padding = padding
+        self.data_format = data_format
 
     def __call__(self, x):
         fn = F.max_pool_nd if self.op == "max" else F.avg_pool_nd
-        return fn(x, self.kernel_size, self.stride, self.padding)
+        return fn(x, self.kernel_size, self.stride, self.padding,
+                  data_format=self.data_format)
 
 
 class MaxPool1d(_PoolNd):
@@ -264,11 +267,13 @@ class AvgPool3d(_PoolNd):
 
 
 class _AdaptiveAvgPoolNd(nnx.Module):
-    def __init__(self, output_size):
+    def __init__(self, output_size, *, data_format: str = "NCHW"):
         self.output_size = output_size
+        self.data_format = data_format
 
     def __call__(self, x):
-        return F.adaptive_avg_pool_nd(x, self.output_size)
+        return F.adaptive_avg_pool_nd(x, self.output_size,
+                                      data_format=self.data_format)
 
 
 class AdaptiveAvgPool1d(_AdaptiveAvgPoolNd):

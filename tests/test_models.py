@@ -142,3 +142,37 @@ class TestMOPED:
         # final linear also transferred
         np.testing.assert_allclose(np.asarray(bayes.linear.mu_weight[...]),
                                    np.asarray(det.linear.weight[...]))
+
+
+def test_large_resnet_nhwc_matches_nchw():
+    """Channels-last (TPU-native) large ResNet is functionally identical
+    to the torch-parity NCHW layout: same params, same outputs."""
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    from bayesian_torch_tpu.models.bayesian.resnet_variational_large import (
+        resnet18,
+    )
+    from bayesian_torch_tpu.models.deterministic.resnet_large import (
+        resnet18 as det18,
+    )
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 64, 64),
+                    jnp.float32)
+    x_t = jnp.transpose(x, (0, 2, 3, 1))
+
+    m1 = resnet18(rngs=nnx.Rngs(params=0, noise=1))
+    m2 = resnet18(rngs=nnx.Rngs(params=0, noise=1), data_format="NHWC")
+    m1.eval(), m2.eval()
+    o1, kl1 = m1(x)
+    o2, kl2 = m2(x_t)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=2e-4,
+                               atol=2e-4)
+    assert float(kl1) == pytest.approx(float(kl2), rel=1e-6)
+
+    d1 = det18(rngs=nnx.Rngs(params=0, noise=1))
+    d2 = det18(rngs=nnx.Rngs(params=0, noise=1), data_format="NHWC")
+    d1.eval(), d2.eval()
+    np.testing.assert_allclose(np.asarray(d1(x)), np.asarray(d2(x_t)),
+                               rtol=2e-4, atol=2e-4)
