@@ -1,0 +1,243 @@
+"""Hardware (-m tpu) lane: Pallas distribution/moment checks and
+kernel-vs-XLA equivalence on the real chip.
+
+Interpret mode stubs the TPU PRNG to constant bits, so CPU tests can
+only validate plumbing/algebra; the statistical evidence that used to
+live only in BASELINE.md prose is made repeatable here (VERDICT
+round-1 item 10). Run: ``BTT_TPU_TESTS=1 python -m pytest tests/ -m tpu``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+pytestmark = pytest.mark.tpu
+
+
+def _require_tpu():
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend")
+
+
+def test_batch_sampler_moments():
+    """K1 batch sampler: per-draw values are N(mu, sigma^2), draws are
+    independent across the MC axis."""
+    _require_tpu()
+    from bayesian_torch_tpu.ops.pallas import sample_scaled_normals_batch
+
+    n = 1 << 16
+    mu = jnp.full((n,), 0.7, jnp.float32)
+    sigma = jnp.full((n,), 0.3, jnp.float32)
+    w = np.asarray(sample_scaled_normals_batch(
+        jax.random.key(0), mu, sigma, 8, jnp.float32))
+    assert w.shape == (8, n)
+    z = (w - 0.7) / 0.3
+    assert abs(z.mean()) < 0.01
+    assert abs(z.std() - 1.0) < 0.01
+    assert abs((z ** 3).mean()) < 0.05          # skewness ~ 0
+    assert abs((z ** 4).mean() - 3.0) < 0.15    # kurtosis ~ 3
+    # draws decorrelated across the MC axis
+    c = np.corrcoef(z[0], z[1])[0, 1]
+    assert abs(c) < 0.02
+
+
+def test_sampled_matmul_eps_distribution_and_determinism():
+    """K1 GEMM kernel: implied eps is standard normal; same seed gives
+    identical results across calls (regenerate-eps contract)."""
+    _require_tpu()
+    from bayesian_torch_tpu.ops.pallas.sampled_matmul import (
+        sampled_matmul_pallas,
+    )
+
+    K, N = 512, 384
+    mu = jnp.zeros((N, K), jnp.float32)
+    rho = jnp.full((N, K), 0.5413, jnp.float32)  # softplus ~ 1.0
+    probe = jnp.eye(K, dtype=jnp.float32)
+    key = jax.random.key(5)
+    W1 = np.asarray(sampled_matmul_pallas(key, probe, mu, rho,
+                                          out_dtype=jnp.float32)).T
+    W2 = np.asarray(sampled_matmul_pallas(key, probe, mu, rho,
+                                          out_dtype=jnp.float32)).T
+    np.testing.assert_array_equal(W1, W2)  # deterministic per seed
+    sigma = float(jax.nn.softplus(0.5413))
+    eps = W1 / sigma
+    assert abs(eps.mean()) < 0.01
+    assert abs(eps.std() - 1.0) < 0.01
+    # different key -> different draw
+    W3 = np.asarray(sampled_matmul_pallas(jax.random.key(6), probe, mu,
+                                          rho, out_dtype=jnp.float32)).T
+    assert np.abs(W1 - W3).max() > 0.1
+
+
+def test_sampled_matmul_matches_xla_with_same_weights():
+    """Kernel-vs-XLA equivalence: extract the kernel's implied sampled
+    W, then the kernel's GEMM must match XLA's x @ W^T."""
+    _require_tpu()
+    from bayesian_torch_tpu.ops.pallas.sampled_matmul import (
+        sampled_matmul_pallas,
+    )
+
+    rs = np.random.RandomState(0)
+    K, N, M = 512, 256, 128
+    mu = jnp.asarray(rs.randn(N, K).astype(np.float32) * 0.2)
+    rho = jnp.asarray(rs.randn(N, K).astype(np.float32) - 2)
+    x = jnp.asarray(rs.randn(M, K).astype(np.float32))
+    key = jax.random.key(3)
+    W = np.asarray(sampled_matmul_pallas(key, jnp.eye(K), mu, rho,
+                                         out_dtype=jnp.float32)).T
+    out = np.asarray(sampled_matmul_pallas(key, x, mu, rho,
+                                           out_dtype=jnp.float32))
+    ref = np.asarray(x) @ W.T
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_sampled_matmul_vmap_lane_equality_on_hw():
+    """S-batched kernel: lane s == unbatched call with keys[s] (the
+    per-tile seeding contract), on real PRNG bits."""
+    _require_tpu()
+    from bayesian_torch_tpu.ops.pallas.sampled_matmul import (
+        sampled_matmul_pallas,
+    )
+
+    rs = np.random.RandomState(1)
+    K, N, M = 384, 256, 64
+    mu = jnp.asarray(rs.randn(N, K).astype(np.float32) * 0.2)
+    rho = jnp.asarray(rs.randn(N, K).astype(np.float32) - 2)
+    x = jnp.asarray(rs.randn(M, K).astype(np.float32))
+    keys = jax.random.split(jax.random.key(9), 4)
+    outs = jax.vmap(lambda k: sampled_matmul_pallas(
+        k, x, mu, rho, out_dtype=jnp.float32))(keys)
+    for s in range(4):
+        ref = sampled_matmul_pallas(keys[s], x, mu, rho,
+                                    out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(outs[s]), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+    # and the lanes are distinct draws
+    assert np.abs(np.asarray(outs[0]) - np.asarray(outs[1])).max() > 1e-3
+
+
+def test_sampled_matmul_grad_moments_on_hw():
+    """Regenerate-eps VJP: E[d rho] over draws ~ the analytic value for
+    a quadratic loss (checks the backward regenerates the SAME eps)."""
+    _require_tpu()
+    from bayesian_torch_tpu.ops.pallas.sampled_matmul import (
+        sampled_matmul_pallas,
+    )
+
+    K = N = 256
+    mu = jnp.zeros((N, K), jnp.float32)
+    rho = jnp.full((N, K), 0.5413, jnp.float32)  # sigma ~ 1
+    x = jnp.eye(K, dtype=jnp.float32)
+
+    def loss(rho, key):
+        out = sampled_matmul_pallas(key, x, mu, rho,
+                                    out_dtype=jnp.float32)
+        return 0.5 * (out ** 2).sum()
+
+    # out = sigma*eps (mu=0, x=I) -> dloss/dsigma = sigma*eps^2;
+    # E[eps^2]=1 so E[grad_rho] = sigma * d sigma/d rho
+    g = np.asarray(jax.grad(loss)(rho, jax.random.key(11)))
+    sig_grad = float(jax.nn.sigmoid(0.5413))
+    sigma = float(jax.nn.softplus(0.5413))
+    assert abs(g.mean() - sigma * sig_grad) < 0.02
+    assert np.isfinite(g).all()
+
+
+def test_rademacher_fused_distribution():
+    """Counter-hash sign generator (Flipout hot path): exactly +-1,
+    balanced, decorrelated between keys."""
+    _require_tpu()
+    from bayesian_torch_tpu.ops.sampling import rademacher_fused
+
+    s1 = np.asarray(rademacher_fused(jax.random.key(0), (1 << 16,),
+                                     jnp.float32))
+    s2 = np.asarray(rademacher_fused(jax.random.key(1), (1 << 16,),
+                                     jnp.float32))
+    assert set(np.unique(s1)) == {-1.0, 1.0}
+    assert abs(s1.mean()) < 0.02
+    assert abs((s1 * s2).mean()) < 0.02  # independent streams
+
+
+def test_int8_qlinear_mxu_path():
+    """s8 x u8 -> s32 MXU GEMM matches the float computation within one
+    output quantum on hardware."""
+    _require_tpu()
+    from bayesian_torch_tpu.ops import int8 as q
+
+    rs = np.random.RandomState(2)
+    x = rs.randn(32, 256).astype(np.float32)
+    w = (rs.randn(128, 256) * 0.4).astype(np.float32)
+    b = rs.randn(128).astype(np.float32)
+    x_scale, x_zp = 0.05, 128
+    w_scale = float(q.symmetric_scale(jnp.asarray(w)))
+    out_scale, out_zp = 0.2, 128
+
+    xq = q.quantize_uint8(jnp.asarray(x), x_scale, x_zp)
+    wq = q.quantize_int8(jnp.asarray(w), w_scale)
+    out = np.asarray(q.dequantize(
+        q.qlinear(xq, x_scale, x_zp, wq, w_scale, jnp.asarray(b),
+                  out_scale, out_zp), out_scale, out_zp))
+    # float reference on the DEQUANTIZED operands (isolates the int8
+    # GEMM from input-quantization error)
+    x_dq = (np.asarray(xq, np.float32) - x_zp) * x_scale
+    w_dq = np.asarray(wq, np.float32) * w_scale
+    ref = np.clip(np.round((x_dq @ w_dq.T + b) / out_scale) + out_zp,
+                  0, 255)
+    ref = (ref - out_zp) * out_scale
+    np.testing.assert_allclose(out, ref, atol=out_scale + 1e-6)
+
+
+def test_mc_forward_bn_ema_on_hw():
+    """The vmap-native BN EMA works on the real backend too."""
+    _require_tpu()
+    from bayesian_torch_tpu.layers import (BatchNorm2dLayer,
+                                           Conv2dReparameterization)
+    from bayesian_torch_tpu.parallel import mc_forward
+
+    class M(nnx.Module):
+        def __init__(self, rngs):
+            self.conv = Conv2dReparameterization(3, 8, 3, padding=1,
+                                                 rngs=rngs)
+            self.bn = BatchNorm2dLayer(8)
+
+        def __call__(self, x):
+            out, kl = self.conv(x)
+            out, _ = self.bn((out, 0))
+            return out, kl
+
+    m = M(nnx.Rngs(params=0, noise=1))
+    x = jax.random.normal(jax.random.key(0), (4, 3, 8, 8))
+    mc_forward(m, x, num_mc=4)
+    assert int(m.bn.num_batches_tracked[...]) == 1
+    assert float(jnp.abs(m.bn.running_mean[...]).sum()) > 0
+
+
+def test_qmatmul_pallas_matches_xla_on_hw():
+    """K4 fused GEMM+requant kernel vs the XLA int8 path on the chip."""
+    _require_tpu()
+    from bayesian_torch_tpu.ops import int8 as q
+
+    rs = np.random.RandomState(0)
+    M, K, N = 512, 256, 384
+    x = rs.randn(M, K).astype(np.float32)
+    w = (rs.randn(N, K) * 0.4).astype(np.float32)
+    b = rs.randn(N).astype(np.float32)
+    ws = float(q.symmetric_scale(jnp.asarray(w)))
+    xq = q.quantize_uint8(jnp.asarray(x), 0.05, 117)
+    wq = q.quantize_int8(jnp.asarray(w), ws)
+
+    old = q.USE_PALLAS_QMATMUL
+    try:
+        q.USE_PALLAS_QMATMUL = True
+        got = np.asarray(q.qlinear(xq, 0.05, 117, wq, ws,
+                                   jnp.asarray(b), 0.1, 128))
+        q.USE_PALLAS_QMATMUL = False
+        ref = np.asarray(q.qlinear(xq, 0.05, 117, wq, ws,
+                                   jnp.asarray(b), 0.1, 128))
+    finally:
+        q.USE_PALLAS_QMATMUL = old
+    diff = np.abs(got.astype(int) - ref.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.001
