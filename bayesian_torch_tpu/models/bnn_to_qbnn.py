@@ -25,8 +25,15 @@ def _harvest_quant_dict(d):
     (scale, zero_point) dicts (reference bnn_to_qbnn.py:105-111)."""
     if not getattr(d, "quant_prepare", False):
         return None
+    obs = list(d.qint_quant)[2:] + list(d.quint_quant)
+    if not all(ob.observed for ob in obs):
+        # prepare() ran but no calibration data flowed: take the
+        # reference's uncalibrated default-scale path instead of
+        # harvesting meaningless observer ranges (zp=128 also lets the
+        # zero-point correction fold away statically)
+        return None
     qd = []
-    for ob in list(d.qint_quant)[2:] + list(d.quint_quant):
+    for ob in obs:
         scale, zp = ob.calculate_qparams()
         qd.append({"scale": scale, "zero_point": zp})
     return qd
