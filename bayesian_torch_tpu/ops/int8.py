@@ -19,6 +19,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Pallas fused GEMM+requant (K4): tri-state override for tests/benches.
+# None = auto (on for the TPU backend, off elsewhere).
+USE_PALLAS_QMATMUL = None
+
+
+def _pallas_qmatmul_enabled():
+    if USE_PALLAS_QMATMUL is not None:
+        return USE_PALLAS_QMATMUL
+    return jax.default_backend() == "tpu"
+
 
 def symmetric_scale(x, upper_bound=100.0, target_range=255.0,
                     default_scale=0.1):
@@ -85,7 +95,18 @@ def qlinear(x_q, x_scale, x_zp, w_q, w_scale, bias_f32, out_scale, out_zp):
     int8, and the constant (128 - zp) shift is restored through a
     per-output correction using the weight column sums — this keeps
     both GEMM operands int8 for the MXU instead of upcasting.
+
+    On TPU the whole thing runs as ONE Pallas kernel (fused s32
+    accumulate + requantize, ops/pallas/qmatmul.py) so the s32
+    accumulator never exists in HBM.
     """
+    if _pallas_qmatmul_enabled():
+        from bayesian_torch_tpu.ops.pallas.qmatmul import qmatmul_requant
+        lead = x_q.shape[:-1]
+        k = x_q.shape[-1]
+        out = qmatmul_requant(x_q.reshape(-1, k), x_scale, x_zp, w_q,
+                              w_scale, bias_f32, out_scale, out_zp)
+        return out.reshape(lead + (w_q.shape[0],))
     x_c = (x_q.astype(jnp.int32) - 128).astype(jnp.int8)
     acc = jax.lax.dot_general(
         x_c, w_q,
@@ -119,6 +140,30 @@ def qconv(x_q, x_scale, x_zp, w_q, w_scale, bias_f32, out_scale, out_zp, *,
     torch's quantized conv pads with zp).
     """
     nd = x_q.ndim - 2
+
+    def _as_tuple(v):
+        return (v,) * nd if isinstance(v, int) else tuple(v)
+
+    # 1x1 channels-last convs ARE GEMMs: route through the fused Pallas
+    # kernel (stride becomes a spatial slice). ~80% of ResNet-50's
+    # output elements come from 1x1 convs, so this removes most of the
+    # XLA path's s32 accumulator round-trips to HBM.
+    if (_pallas_qmatmul_enabled() and not transposed and groups == 1
+            and data_format.endswith("C")
+            and all(k == 1 for k in w_q.shape[2:])
+            and all(p == 0 for p in _as_tuple(padding))
+            and all(d == 1 for d in _as_tuple(dilation))):
+        from bayesian_torch_tpu.ops.pallas.qmatmul import qmatmul_requant
+        sl = ((slice(None),)
+              + tuple(slice(None, None, s) for s in _as_tuple(stride))
+              + (slice(None),))
+        x_s = x_q[sl]
+        cin = x_s.shape[-1]
+        out = qmatmul_requant(x_s.reshape(-1, cin), x_scale, x_zp,
+                              w_q.reshape(w_q.shape[0], cin), w_scale,
+                              bias_f32, out_scale, out_zp)
+        return out.reshape(x_s.shape[:-1] + (w_q.shape[0],))
+
     from bayesian_torch_tpu.ops import conv as conv_ops
 
     def _conv(x, w, g):
