@@ -104,6 +104,12 @@ class _QuantizedLayerBase(BaseVariationalLayer):
             q.quantize_int8(sigma, sigma_scale))
         self.mu_weight_scale = QuantParam(mu_scale)
         self.sigma_weight_scale = QuantParam(sigma_scale)
+        # quantize() runs on the host (model surgery time), so the
+        # scales are also stored as static Python floats: every requant
+        # multiplier then constant-folds under jit instead of becoming
+        # per-element arithmetic on traced scalars
+        self._mu_scale_f = float(mu_scale)
+        self._sigma_scale_f = float(sigma_scale)
 
         has_bias = getattr(self, "mu_bias", None) is not None
         if has_bias:
@@ -155,6 +161,14 @@ class _QuantizedLayerBase(BaseVariationalLayer):
         d = self.quant_dict[i]
         return float(d["scale"]), float(d["zero_point"])
 
+    def _weight_scales(self):
+        """(sigma_scale, mu_scale) as static floats when quantize() ran
+        on the host (the common case); falls back to the state arrays
+        (restored checkpoints where the floats were not rebuilt)."""
+        if getattr(self, "_sigma_scale_f", None) is not None:
+            return self._sigma_scale_f, self._mu_scale_f
+        return self.sigma_weight_scale[...], self.mu_weight_scale[...]
+
     def _apply_int8(self, x_q, x_scale, x_zp, w_q, w_scale, bias,
                     out_scale, out_zp):
         if self.is_conv:
@@ -184,10 +198,12 @@ class _QuantizedLayerBase(BaseVariationalLayer):
     def _forward_reparam(self, input, normal_scale, default_scale,
                          default_zero_point):
         kshape = self.quantized_mu_weight.shape
+        # NOTE: counter-hash fused normals were tried here and LOST:
+        # Box-Muller's log/cos on every weight element costs ~1.4 ms of
+        # VPU time vs ~0.05 ms of rng-bit-generator HBM traffic (the
+        # rbg-backed jax.random.normal is cheap on TPU)
         eps = jax.random.normal(self.rngs.noise(), kshape)
-        # keep scales as (0-d) arrays: jit-safe, no host round-trip
-        s_sigma = self.sigma_weight_scale[...]
-        s_mu = self.mu_weight_scale[...]
+        s_sigma, s_mu = self._weight_scales()
 
         # legacy ao/ classes predate the calibrated quant_dict path
         if self.quant_dict is not None and not self.legacy_ao:
@@ -211,7 +227,12 @@ class _QuantizedLayerBase(BaseVariationalLayer):
         new_scale = s_sigma * normal_scale
         w_q = q.qmul(self.quantized_sigma_weight[...], s_sigma, eps_q,
                      normal_scale, new_scale, 0)
-        add_scale = jnp.maximum(new_scale, s_mu)
+        # builtin max keeps static floats static (jnp.maximum would
+        # re-trace them into 0-d arrays)
+        add_scale = (max(new_scale, s_mu)
+                     if isinstance(new_scale, float)
+                     and isinstance(s_mu, float)
+                     else jnp.maximum(new_scale, s_mu))
         w_q = q.qadd(w_q, new_scale, self.quantized_mu_weight[...], s_mu,
                      add_scale, 0)
         bias = self._sample_bias()
@@ -227,8 +248,7 @@ class _QuantizedLayerBase(BaseVariationalLayer):
                          default_zero_point):
         kshape = self.quantized_mu_weight.shape
         eps = jax.random.normal(self.rngs.noise(), kshape)
-        s_sigma = self.sigma_weight_scale[...]
-        s_mu = self.mu_weight_scale[...]
+        s_sigma, s_mu = self._weight_scales()
 
         if self.quant_dict is not None and not self.legacy_ao:
             # quant_dict: [eps, delta, x, outputs, sign_in, sign_out,

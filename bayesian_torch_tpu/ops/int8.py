@@ -39,13 +39,15 @@ def symmetric_scale(x, upper_bound=100.0, target_range=255.0,
 
 
 def quantize_int8(x, scale):
-    """Symmetric int8 (zero_point = 0)."""
-    q = jnp.round(x / scale)
+    """Symmetric int8 (zero_point = 0). Divisions by (possibly traced)
+    scales are written as multiply-by-reciprocal: a traced scalar
+    divisor otherwise lowers to a per-element divide."""
+    q = jnp.round(x * (1.0 / scale))
     return jnp.clip(q, -128, 127).astype(jnp.int8)
 
 
 def quantize_uint8(x, scale, zero_point):
-    q = jnp.round(x / scale) + zero_point
+    q = jnp.round(x * (1.0 / scale)) + zero_point
     return jnp.clip(q, 0, 255).astype(jnp.uint8)
 
 
@@ -54,7 +56,7 @@ def dequantize(q, scale, zero_point=0):
 
 
 def requantize_int8(acc_f32, out_scale, out_zp=0):
-    q = jnp.round(acc_f32 / out_scale) + out_zp
+    q = jnp.round(acc_f32 * (1.0 / out_scale)) + out_zp
     return jnp.clip(q, -128, 127).astype(jnp.int8)
 
 
@@ -68,19 +70,21 @@ def qmul(a_q, a_scale, b_q, b_scale, out_scale, out_zp=0, *,
     out_q = clamp(round(a_deq * b_deq / out_scale) + out_zp)."""
     a_c = a_q.astype(jnp.int32) - jnp.int32(a_zp)
     b_c = b_q.astype(jnp.int32) - jnp.int32(b_zp)
-    prod = (a_c * b_c).astype(jnp.float32) * (a_scale * b_scale)
+    prod = (a_c * b_c).astype(jnp.float32) * (a_scale * b_scale
+                                               * (1.0 / out_scale))
     lo, hi = _clip_range(out_dtype)
-    q = jnp.round(prod / out_scale) + out_zp
+    q = jnp.round(prod) + out_zp
     return jnp.clip(q, lo, hi).astype(out_dtype)
 
 
 def qadd(a_q, a_scale, b_q, b_scale, out_scale, out_zp=0, *,
          a_zp=0, b_zp=0, out_dtype=jnp.int8):
     """torch.ops.quantized.add equivalent."""
-    s = ((a_q.astype(jnp.float32) - a_zp) * a_scale
-         + (b_q.astype(jnp.float32) - b_zp) * b_scale)
+    inv = 1.0 / out_scale
+    s = ((a_q.astype(jnp.float32) - a_zp) * (a_scale * inv)
+         + (b_q.astype(jnp.float32) - b_zp) * (b_scale * inv))
     lo, hi = _clip_range(out_dtype)
-    q = jnp.round(s / out_scale) + out_zp
+    q = jnp.round(s) + out_zp
     return jnp.clip(q, lo, hi).astype(out_dtype)
 
 
@@ -114,12 +118,15 @@ def qlinear(x_q, x_scale, x_zp, w_q, w_scale, bias_f32, out_scale, out_zp):
         preferred_element_type=jnp.int32,
     )
     # sum w (x_q - zp) = sum w (x_q - 128) + (128 - zp) * sum w
-    w_colsum = jnp.sum(w_q.astype(jnp.int32), axis=1)
-    acc = acc + (128 - jnp.int32(x_zp)) * w_colsum
-    out = acc.astype(jnp.float32) * (x_scale * w_scale)
+    # (skipped entirely for the common static zp == 128)
+    if not (isinstance(x_zp, (int, float)) and x_zp == 128):
+        w_colsum = jnp.sum(w_q.astype(jnp.int32), axis=1)
+        acc = acc + (128 - jnp.int32(x_zp)) * w_colsum
+    inv = 1.0 / out_scale
+    out = acc.astype(jnp.float32) * (x_scale * w_scale * inv)
     if bias_f32 is not None:
-        out = out + bias_f32
-    q = jnp.round(out / out_scale) + out_zp
+        out = out + bias_f32 * inv
+    q = jnp.round(out) + out_zp
     return jnp.clip(q, 0, 255).astype(jnp.uint8)
 
 
@@ -144,24 +151,23 @@ def qconv(x_q, x_scale, x_zp, w_q, w_scale, bias_f32, out_scale, out_zp, *,
     def _as_tuple(v):
         return (v,) * nd if isinstance(v, int) else tuple(v)
 
-    # 1x1 channels-last convs ARE GEMMs: route through the fused Pallas
-    # kernel (stride becomes a spatial slice). ~80% of ResNet-50's
-    # output elements come from 1x1 convs, so this removes most of the
-    # XLA path's s32 accumulator round-trips to HBM.
+    # 1x1 channels-last convs ARE GEMMs (stride becomes a spatial
+    # slice): route through the fused Pallas kernel when enabled. The
+    # XLA-dot formulation was measured SLOWER than XLA's native conv
+    # (7.4 vs 5.9 ms e2e), so without Pallas the conv path stays.
     if (_pallas_qmatmul_enabled() and not transposed and groups == 1
             and data_format.endswith("C")
             and all(k == 1 for k in w_q.shape[2:])
             and all(p == 0 for p in _as_tuple(padding))
             and all(d == 1 for d in _as_tuple(dilation))):
-        from bayesian_torch_tpu.ops.pallas.qmatmul import qmatmul_requant
         sl = ((slice(None),)
               + tuple(slice(None, None, s) for s in _as_tuple(stride))
               + (slice(None),))
         x_s = x_q[sl]
         cin = x_s.shape[-1]
-        out = qmatmul_requant(x_s.reshape(-1, cin), x_scale, x_zp,
-                              w_q.reshape(w_q.shape[0], cin), w_scale,
-                              bias_f32, out_scale, out_zp)
+        out = qlinear(x_s.reshape(-1, cin), x_scale, x_zp,
+                      w_q.reshape(w_q.shape[0], cin), w_scale,
+                      bias_f32, out_scale, out_zp)
         return out.reshape(x_s.shape[:-1] + (w_q.shape[0],))
 
     from bayesian_torch_tpu.ops import conv as conv_ops
@@ -180,26 +186,32 @@ def qconv(x_q, x_scale, x_zp, w_q, w_scale, bias_f32, out_scale, out_zp, *,
     x_c = (x_q.astype(jnp.int32) - 128).astype(jnp.int8)
     acc = _conv(x_c, w_q, groups)
 
-    # channel-summed correction kernel (integer-valued; exact in f32:
-    # |sum| <= 127 * C_in/g * prod(k) << 2^24)
-    k = w_q.shape[2:]
-    if transposed:
-        # (I, O/g, *k) -> (g, I/g, O/g, *k) -> sum in-channels -> (g, O/g, *k)
-        s = w_q.astype(jnp.float32).reshape(
-            (groups, w_q.shape[0] // groups, w_q.shape[1]) + k).sum(axis=1)
-    else:
-        # (O, I/g, *k) -> sum in-channels -> (O, 1, *k)
-        s = w_q.astype(jnp.float32).sum(axis=1, keepdims=True)
-    if data_format.endswith("C"):
-        ones1 = jnp.ones((1,) + x_q.shape[1:-1] + (groups,), jnp.float32)
-    else:
-        ones1 = jnp.ones((1, groups) + x_q.shape[2:], jnp.float32)
-    corr = _conv(ones1, s, groups).astype(jnp.int32)  # (1, O, *out)
-    acc = acc + (128 - jnp.int32(x_zp)) * corr
-    out = acc.astype(jnp.float32) * (x_scale * w_scale)
+    skip_corr = isinstance(x_zp, (int, float)) and x_zp == 128
+
+    if not skip_corr:
+        # channel-summed correction kernel (integer-valued; exact in
+        # f32: |sum| <= 127 * C_in/g * prod(k) << 2^24)
+        k = w_q.shape[2:]
+        if transposed:
+            # (I, O/g, *k) -> (g, I/g, O/g, *k) -> sum in -> (g, O/g, *k)
+            s = w_q.astype(jnp.float32).reshape(
+                (groups, w_q.shape[0] // groups, w_q.shape[1]) + k
+            ).sum(axis=1)
+        else:
+            # (O, I/g, *k) -> sum in-channels -> (O, 1, *k)
+            s = w_q.astype(jnp.float32).sum(axis=1, keepdims=True)
+        if data_format.endswith("C"):
+            ones1 = jnp.ones((1,) + x_q.shape[1:-1] + (groups,),
+                             jnp.float32)
+        else:
+            ones1 = jnp.ones((1, groups) + x_q.shape[2:], jnp.float32)
+        corr = _conv(ones1, s, groups).astype(jnp.int32)  # (1, O, *out)
+        acc = acc + (128 - jnp.int32(x_zp)) * corr
+    inv = 1.0 / out_scale
+    out = acc.astype(jnp.float32) * (x_scale * w_scale * inv)
     if bias_f32 is not None:
         shape = ((1, -1) + (1,) * nd) if not data_format.endswith("C") \
             else ((1,) * (nd + 1) + (-1,))
-        out = out + bias_f32.reshape(shape)
-    q = jnp.round(out / out_scale) + out_zp
+        out = out + bias_f32.reshape(shape) * inv
+    q = jnp.round(out) + out_zp
     return jnp.clip(q, 0, 255).astype(jnp.uint8)

@@ -110,6 +110,8 @@ def _qmatmul(x_q, w_q, alpha, beta):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interp(),
     )(jnp.asarray([alpha], jnp.float32), xp, wp, betap)
     return out[:M, :N]

@@ -92,3 +92,41 @@ def rademacher_fused(key, shape, dtype=jnp.float32):
     h = _splitmix32(salt + (idx + jnp.uint32(1)) * jnp.uint32(_SM32_GOLDEN))
     one = jnp.ones((), dtype)
     return jnp.where((h >> 31).astype(jnp.bool_), -one, one)
+
+
+def _key_salt(key):
+    data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    salt = data[-1]
+    for i in range(data.shape[0] - 1):
+        salt = salt * jnp.uint32(_SM32_GOLDEN) ^ data[i]
+    return salt
+
+
+_U24 = 1.0 / (1 << 24)
+_TWO_PI = 2.0 * math.pi
+
+
+def normal_fused(key, shape, dtype=jnp.float32):
+    """iid N(0,1) from a counter-based hash (Box-Muller).
+
+    Same motivation as ``rademacher_fused``: ``jax.random.normal``'s
+    rng-bit-generator writes a uint32 word per element to HBM and reads
+    it back in the consuming fusion; here the value at flat position i
+    is a pure elementwise function of (salt, i) — two splitmix32
+    evaluations feeding an unpaired Box-Muller — so XLA fuses the whole
+    draw into the consumer and the noise never exists in memory. Used
+    on the INT8 weight-sampling path where eps is immediately quantized
+    (quantized_base.py); statistical tests in tests/test_sampling.py.
+    """
+    salt = _key_salt(key)
+    n = math.prod(shape)
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).reshape(shape)
+    c = (idx + jnp.uint32(1)) * jnp.uint32(_SM32_GOLDEN)
+    h1 = _splitmix32(salt + c)
+    h2 = _splitmix32((salt ^ jnp.uint32(0xDEADBEEF)) + c)
+    # 24-bit uniforms: u1 in (0,1] (avoids log(0)), u2 in [0,1)
+    u1 = (h1 >> jnp.uint32(8)).astype(jnp.float32) * _U24 + (_U24 * 0.5)
+    u2 = (h2 >> jnp.uint32(8)).astype(jnp.float32) * _U24
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    z = r * jnp.cos(_TWO_PI * u2)
+    return z.astype(dtype)

@@ -6,6 +6,13 @@ forward" cost model from BASELINE.json — a deterministic ResNet-50
 forward on 10 copies of each image, perfectly batched (value 1.0 =
 Bayesian sampling is free; north-star target >= 0.9).
 
+Both NCHW (torch-parity) and NHWC (TPU-native channels-last) layouts
+are measured; the headline is the faster layout, with the same-layout
+deterministic run as the denominator. The JSON line also reports the
+absolute %-of-bf16-speed-of-light (sol_*) for the flagship and the
+deterministic baseline (VERDICT round-1 item 3: report absolute MFU,
+not just the ratio).
+
 Measurement notes (this environment):
 - the tunneled TPU backend does NOT block in jax.block_until_ready, and
   scalar fetches carry hundreds of ms of tunnel latency, so step time is
@@ -15,7 +22,7 @@ Measurement notes (this environment):
   graph-walk overhead would otherwise dominate);
 - inputs are random, not ones (XLA constant-folds all-ones convs).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -38,6 +45,11 @@ NUM_MC = 10
 IMG = 224
 N1, N2 = 3, 13
 COMPUTE_DTYPE = jnp.bfloat16
+
+# ResNet-50 @224 forward: 2*MACs for convs+fc (torchvision profile);
+# used for the speed-of-light fraction when XLA cost analysis is
+# unavailable on the tunneled backend.
+RESNET50_FLOPS_PER_IMG = 2 * 4.089e9
 
 
 def _set_compute_dtype(model, dtype):
@@ -66,7 +78,8 @@ def _step_time(fn, *args):
     return ts[1]
 
 
-def main():
+def _measure_pair(data_format):
+    """(bayes_step_time, det_step_time) for one layout."""
     from bayesian_torch_tpu.models.bayesian.resnet_variational_large import (
         resnet50 as bayes_resnet50,
     )
@@ -75,15 +88,15 @@ def main():
     )
     from bayesian_torch_tpu.parallel import mc_forward
 
-    x = jax.random.normal(jax.random.key(42), (BATCH, 3, IMG, IMG),
-                          jnp.float32)
+    shape = ((BATCH, 3, IMG, IMG) if data_format == "NCHW"
+             else (BATCH, IMG, IMG, 3))
+    x = jax.random.normal(jax.random.key(42), shape, jnp.float32)
 
-    # --- Bayesian: 10-MC vmapped forward -------------------------------
     # rbg noise keys: the TPU-native PRNG shaves threefry time off the
     # per-draw weight sampling
     bayes = bayes_resnet50(rngs=nnx.Rngs(
         params=jax.random.key(0),
-        noise=jax.random.key(1, impl="rbg")))
+        noise=jax.random.key(1, impl="rbg")), data_format=data_format)
     bayes.eval()
     _set_compute_dtype(bayes, COMPUTE_DTYPE)
     graphdef, state = nnx.split(bayes)
@@ -95,10 +108,9 @@ def main():
         return outs.mean()
 
     t_bayes = _step_time(bayes_fwd, state, x)
-    bayes_ips = BATCH / t_bayes
 
-    # --- Deterministic baseline: same effective batch (BATCH*NUM_MC) ---
-    det = det_resnet50(rngs=nnx.Rngs(params=0, noise=1))
+    det = det_resnet50(rngs=nnx.Rngs(params=0, noise=1),
+                       data_format=data_format)
     det.eval()
     _set_compute_dtype(det, COMPUTE_DTYPE)
     det_graphdef, det_state = nnx.split(det)
@@ -108,16 +120,37 @@ def main():
         model = nnx.merge(det_graphdef, state)
         return model(x).mean()
 
-    x_big = jax.random.normal(jax.random.key(43),
-                              (BATCH * NUM_MC, 3, IMG, IMG), jnp.float32)
+    big_shape = (BATCH * NUM_MC,) + shape[1:]
+    x_big = jax.random.normal(jax.random.key(43), big_shape, jnp.float32)
     t_det = _step_time(det_fwd, det_state, x_big)
-    det10_ips = BATCH / t_det
+    return t_bayes, t_det
 
+
+def main():
+    from bayesian_torch_tpu.utils.profiling import sol_fraction
+
+    results = {}
+    for df in ("NCHW", "NHWC"):
+        results[df] = _measure_pair(df)
+
+    # headline: the faster layout (same-layout det as denominator)
+    layout = min(results, key=lambda d: results[d][0])
+    t_bayes, t_det = results[layout]
+    bayes_ips = BATCH / t_bayes
+    det10_ips = BATCH / t_det
+    flops = BATCH * NUM_MC * RESNET50_FLOPS_PER_IMG
+
+    alt = "NHWC" if layout == "NCHW" else "NCHW"
     print(json.dumps({
         "metric": "bayesian_resnet50_mc10_inference",
         "value": round(bayes_ips, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(bayes_ips / det10_ips, 4),
+        "layout": layout,
+        "sol_bayes": round(sol_fraction(flops, t_bayes), 4),
+        "sol_det": round(sol_fraction(flops, t_det), 4),
+        f"bayes_ips_{alt.lower()}": round(BATCH / results[alt][0], 2),
+        f"det10_ips_{alt.lower()}": round(BATCH / results[alt][1], 2),
     }))
 
 

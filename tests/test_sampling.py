@@ -82,3 +82,40 @@ def test_block_means_gaussian(block):
     z = s.sum(axis=1) / np.sqrt(block)
     assert abs(z.mean()) < 5.0 / np.sqrt(z.shape[0])
     assert abs(z.var() - 1.0) < 0.1
+
+
+class TestNormalFused:
+    """Counter-hash Box-Muller generator (pure elementwise: identical
+    on CPU and TPU, unlike the hardware-PRNG Pallas paths)."""
+
+    def test_moments(self):
+        import jax
+
+        from bayesian_torch_tpu.ops.sampling import normal_fused
+
+        z = np.asarray(normal_fused(jax.random.key(0), (1 << 18,)))
+        assert abs(z.mean()) < 0.01
+        assert abs(z.std() - 1.0) < 0.01
+        assert abs(((z - z.mean()) ** 3).mean()) < 0.05
+        assert abs(((z - z.mean()) ** 4).mean() - 3.0) < 0.15
+
+    def test_normality_ks(self):
+        import jax
+        from scipy import stats
+
+        from bayesian_torch_tpu.ops.sampling import normal_fused
+
+        z = np.asarray(normal_fused(jax.random.key(3), (1 << 14,)))
+        _, p = stats.kstest(z, "norm")
+        assert p > 1e-3, p
+
+    def test_key_independence_and_determinism(self):
+        import jax
+
+        from bayesian_torch_tpu.ops.sampling import normal_fused
+
+        a = np.asarray(normal_fused(jax.random.key(1), (4096,)))
+        a2 = np.asarray(normal_fused(jax.random.key(1), (4096,)))
+        b = np.asarray(normal_fused(jax.random.key(2), (4096,)))
+        np.testing.assert_array_equal(a, a2)
+        assert abs(np.corrcoef(a, b)[0, 1]) < 0.05
