@@ -70,7 +70,16 @@ def _presample_layers(model, num_mc):
     # Aggregate every layer's parameters into ONE flat buffer and run a
     # single kernel invocation: per-layer pallas launches and padding
     # were measured to cost more than they saved.
-    entries = []  # (layer, est, shape, n)
+    #
+    # LAYOUT: conv kernels go through the sampler in (*k, O, I) order.
+    # XLA's preferred conv weight layout is {1,0,3,2} (I minor, then O,
+    # then spatial) — the default row-major layout of a (*k, O, I)
+    # buffer — so the transpose back to the logical (O, I, *k) becomes
+    # a free bitcast and the conv consumes the sampled tile WITHOUT the
+    # 11.7 ms/step relayout copy that sank round 1's presample path
+    # (measured: conv feed 5.9 ms natural-order vs 3.35 ms this way,
+    # matching the 3.17 ms XLA-sampled baseline).
+    entries = []  # (layer, est, t_shape, inv_perm, n)
     mus, sigmas = [], []
     key = None
     for layer in iter_bayesian_layers(model):
@@ -88,7 +97,16 @@ def _presample_layers(model, num_mc):
         sigma = sigma_from_rho(rho)
         if est == "flipout":
             mu = jnp.zeros_like(mu)  # flipout presamples delta = sigma*eps
-        entries.append((layer, est, mu.shape, mu.size))
+        if is_conv and not getattr(layer, "transposed", False) \
+                and mu.ndim > 2:
+            nd = mu.ndim - 2
+            perm = tuple(range(2, 2 + nd)) + (0, 1)  # (O,I,*k)->(*k,O,I)
+            inv = (nd, nd + 1) + tuple(range(nd))
+            mu = jnp.transpose(mu, perm)
+            sigma = jnp.transpose(sigma, perm)
+        else:
+            inv = None
+        entries.append((layer, est, mu.shape, inv, mu.size))
         mus.append(mu.reshape(-1))
         sigmas.append(sigma.reshape(-1))
         if key is None:
@@ -104,9 +122,11 @@ def _presample_layers(model, num_mc):
     touched = []
     off = 0
     import jax as _jax
-    for layer, est, shape, n in entries:
-        layer._presampled_w = Presampled(
-            w_all[:, off:off + n].reshape((num_mc,) + shape))
+    for layer, est, t_shape, inv, n in entries:
+        w = w_all[:, off:off + n].reshape((num_mc,) + t_shape)
+        if inv is not None:
+            w = jnp.transpose(w, (0,) + tuple(i + 1 for i in inv))
+        layer._presampled_w = Presampled(w)
         off += n
         attrs = ["_presampled_w"]
         if layer.mu_bias is not None:

@@ -40,9 +40,10 @@ def main():
         return jnp.sum(x)
 
     result = total(garr)
-    # fetch the replicated scalar on every process
-    from jax.experimental import multihost_utils
-    val = float(multihost_utils.process_allgather(result).reshape(-1)[0])
+    # the jitted reduction replicates its scalar output across the mesh;
+    # every process reads its own addressable copy (process_allgather on
+    # a non-fully-addressable array requires tiled=True in current jax)
+    val = float(result.addressable_data(0))
     print(f"PSUM={val}", flush=True)
     print("WORKER_OK", flush=True)
 
