@@ -44,8 +44,15 @@ def prepare(model: nnx.Module) -> nnx.Module:
     return model
 
 
-def convert(model: nnx.Module, *, fuse_conv_bn: bool = False) -> nnx.Module:
+def convert(model: nnx.Module, *, fuse_conv_bn: bool = False,
+            quantize_activations: bool = False) -> nnx.Module:
     """Swap Bayesian layers for INT8 quantized twins using the
-    calibration stats recorded since prepare()."""
-    bnn_to_qbnn(model, fuse_conv_bn=fuse_conv_bn)
+    calibration stats recorded since prepare().
+
+    ``quantize_activations=True`` keeps activations uint8 between conv
+    layers (QTensor flow) — several times less HBM traffic than fp32
+    round trips; model-level relu/add/maxpool run in the quantized
+    domain (exact when scales match, see ops/qtensor.py)."""
+    bnn_to_qbnn(model, fuse_conv_bn=fuse_conv_bn,
+                quantize_activations=quantize_activations)
     return model

@@ -147,10 +147,11 @@ class _BatchNormNdLayer(nnx.Module):
         return x * scale + shift
 
     def __call__(self, input):
+        from bayesian_torch_tpu.ops.qtensor import dequantize_if_qtensor
         if isinstance(input, tuple):
             x, _ = input
-            return self._normalize(x), 0
-        return self._normalize(input)
+            return self._normalize(dequantize_if_qtensor(x)), 0
+        return self._normalize(dequantize_if_qtensor(input))
 
     def __repr__(self):
         return f"{type(self).__name__}()"

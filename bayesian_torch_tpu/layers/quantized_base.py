@@ -38,6 +38,7 @@ from bayesian_torch_tpu.layers.base_variational_layer import (
     get_kernel_size,
 )
 from bayesian_torch_tpu.ops import int8 as q
+from bayesian_torch_tpu.ops.qtensor import QTensor
 from bayesian_torch_tpu.ops.sampling import sigma_from_rho
 
 
@@ -73,6 +74,11 @@ class _QuantizedLayerBase(BaseVariationalLayer):
         self.quant_dict = None
         self.is_dequant = False
         self.bn_eps = 1e-5  # bn_* attrs attached by batch_norm_folding
+        # q_output=True: emit a QTensor (uint8 + static scale/zp) instead
+        # of dequantizing to fp32 — lets activations stay quantized
+        # between layers (torch keeps them quantized via QuantStubs;
+        # set by bnn_to_qbnn(quantize_activations=True))
+        self.q_output = False
 
     # ---- quantize() ----------------------------------------------------
 
@@ -181,6 +187,18 @@ class _QuantizedLayerBase(BaseVariationalLayer):
         return q.qlinear(x_q, x_scale, x_zp, w_q, w_scale, bias,
                          out_scale, out_zp)
 
+    def _quantize_input(self, x, scale, zp):
+        """fp32 -> uint8, or direct uint8 requantize for QTensor inputs
+        (no fp32 round trip through HBM)."""
+        if isinstance(x, QTensor):
+            return x.requantize(scale, zp).q
+        return q.quantize_uint8(x, scale, zp)
+
+    def _emit(self, out_q, scale, zp):
+        if self.q_output:
+            return QTensor(out_q, scale, zp)
+        return q.dequantize(out_q, scale, zp)
+
     def _sample_bias(self):
         """fp32 sampled bias; mean-only when bias came from BN fusion
         (reference quantize_linear_variational.py:188-193)."""
@@ -218,9 +236,9 @@ class _QuantizedLayerBase(BaseVariationalLayer):
             w_q = q.qadd(w_q, s1, self.quantized_mu_weight[...], s_mu,
                          s2, z2)
             bias = self._sample_bias()
-            x_q = q.quantize_uint8(input, s3, z3)
+            x_q = self._quantize_input(input, s3, z3)
             out_q = self._apply_int8(x_q, s3, z3, w_q, s2, bias, s4, z4)
-            return q.dequantize(out_q, s4, z4)
+            return self._emit(out_q, s4, z4)
 
         # uncalibrated default path (reference :202-219)
         eps_q = q.quantize_int8(eps, normal_scale)
@@ -236,11 +254,11 @@ class _QuantizedLayerBase(BaseVariationalLayer):
         w_q = q.qadd(w_q, new_scale, self.quantized_mu_weight[...], s_mu,
                      add_scale, 0)
         bias = self._sample_bias()
-        x_q = q.quantize_uint8(input, default_scale, default_zero_point)
+        x_q = self._quantize_input(input, default_scale, default_zero_point)
         out_q = self._apply_int8(x_q, default_scale, default_zero_point,
                                  w_q, add_scale, bias, default_scale,
                                  default_zero_point)
-        return q.dequantize(out_q, default_scale, default_zero_point)
+        return self._emit(out_q, default_scale, default_zero_point)
 
     # ---- forward: flipout ------------------------------------------------
 
@@ -276,7 +294,7 @@ class _QuantizedLayerBase(BaseVariationalLayer):
             mean_bias = (self.quantized_mu_bias[...]
                          if self.quantized_mu_bias is not None else None)
 
-            x_q = q.quantize_uint8(x, s2, z2)
+            x_q = self._quantize_input(x, s2, z2)
             outputs_q = self._apply_int8(x_q, s2, z2,
                                          self.quantized_mu_weight[...],
                                          s_mu, mean_bias, s3, z3)
@@ -294,13 +312,13 @@ class _QuantizedLayerBase(BaseVariationalLayer):
                             a_zp=z7, b_zp=z5, out_dtype=jnp.uint8)
             out_q = q.qadd(outputs_q, s3, pert_q, s8, s9, z9,
                            a_zp=z3, b_zp=z8, out_dtype=jnp.uint8)
-            return q.dequantize(out_q, s9, z9)
+            return self._emit(out_q, s9, z9)
 
         # uncalibrated default path (reference :229-256)
         ds, dz = default_scale, default_zero_point
         mean_bias = (self.quantized_mu_bias[...]
                      if self.quantized_mu_bias is not None else None)
-        x_q = q.quantize_uint8(x, ds, dz)
+        x_q = self._quantize_input(x, ds, dz)
         outputs_q = self._apply_int8(x_q, ds, dz,
                                      self.quantized_mu_weight[...], s_mu,
                                      mean_bias, ds, dz)
@@ -327,7 +345,7 @@ class _QuantizedLayerBase(BaseVariationalLayer):
                         b_zp=dz, out_dtype=jnp.uint8)
         out_q = q.qadd(outputs_q, ds, pert_q, ds, ds, dz, a_zp=dz, b_zp=dz,
                        out_dtype=jnp.uint8)
-        return q.dequantize(out_q, ds, dz)
+        return self._emit(out_q, ds, dz)
 
     # ---- public forward --------------------------------------------------
 

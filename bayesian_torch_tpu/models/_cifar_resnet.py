@@ -77,20 +77,20 @@ class BasicBlock(nnx.Module):
 
     def __call__(self, x):
         if self.estimator is None:
-            out = jax.nn.relu(self.bn1(self.conv1(x)))
+            out = F.relu(self.bn1(self.conv1(x)))
             out = self.bn2(self.conv2(out))
             sc = _option_a_shortcut(x, self.planes) if self.needs_shortcut \
                 else x
-            return jax.nn.relu(out + sc)
+            return F.relu(out + sc)
         kl_sum = 0.0
         out, kl = self.conv1(x)
         kl_sum += kl
-        out = jax.nn.relu(self.bn1(out))
+        out = F.relu(self.bn1(out))
         out, kl = self.conv2(out)
         kl_sum += kl
         out = self.bn2(out)
         sc = _option_a_shortcut(x, self.planes) if self.needs_shortcut else x
-        return jax.nn.relu(out + sc), kl_sum
+        return F.relu(out + sc), kl_sum
 
 
 class CifarResNet(nnx.Module):
@@ -145,7 +145,7 @@ class CifarResNet(nnx.Module):
 
     def __call__(self, x):
         if self.estimator is None:
-            out = jax.nn.relu(self.bn1(self.conv1(x)))
+            out = F.relu(self.bn1(self.conv1(x)))
             out = self.layer1(out)
             out = self.layer2(out)
             out = self.layer3(out)
@@ -156,7 +156,7 @@ class CifarResNet(nnx.Module):
         kl_sum = 0.0
         out, kl = self.conv1(x)
         kl_sum += kl
-        out = jax.nn.relu(self.bn1(out))
+        out = F.relu(self.bn1(out))
         for layer in (self.layer1, self.layer2, self.layer3):
             for block in layer:
                 out, kl = block(out)

@@ -22,6 +22,7 @@ import jax
 from flax import nnx
 
 import bayesian_torch_tpu.nn as dnn
+from bayesian_torch_tpu.nn import functional as F
 from bayesian_torch_tpu.layers.base_variational_layer import default_rngs
 from bayesian_torch_tpu.layers.batchnorm import BatchNorm2dLayer
 
@@ -82,20 +83,20 @@ class BasicBlock(_Block):
 
     def __call__(self, x):
         if self.estimator is None:
-            out = jax.nn.relu(self.bn1(self.conv1(x)))
+            out = F.relu(self.bn1(self.conv1(x)))
             out = self.bn2(self.conv2(out))
             residual, _ = self._res(x)
-            return jax.nn.relu(out + residual)
+            return F.relu(out + residual)
         kl_sum = 0.0
         out, kl = self.conv1(x)
         kl_sum += kl
-        out = jax.nn.relu(self.bn1(out))
+        out = F.relu(self.bn1(out))
         out, kl = self.conv2(out)
         kl_sum += kl
         out = self.bn2(out)
         residual, kl = self._res(x)
         kl_sum += kl
-        return jax.nn.relu(out + residual), kl_sum
+        return F.relu(out + residual), kl_sum
 
 
 class Bottleneck(_Block):
@@ -115,24 +116,24 @@ class Bottleneck(_Block):
 
     def __call__(self, x):
         if self.estimator is None:
-            out = jax.nn.relu(self.bn1(self.conv1(x)))
-            out = jax.nn.relu(self.bn2(self.conv2(out)))
+            out = F.relu(self.bn1(self.conv1(x)))
+            out = F.relu(self.bn2(self.conv2(out)))
             out = self.bn3(self.conv3(out))
             residual, _ = self._res(x)
-            return jax.nn.relu(out + residual)
+            return F.relu(out + residual)
         kl_sum = 0.0
         out, kl = self.conv1(x)
         kl_sum += kl
-        out = jax.nn.relu(self.bn1(out))
+        out = F.relu(self.bn1(out))
         out, kl = self.conv2(out)
         kl_sum += kl
-        out = jax.nn.relu(self.bn2(out))
+        out = F.relu(self.bn2(out))
         out, kl = self.conv3(out)
         kl_sum += kl
         out = self.bn3(out)
         residual, kl = self._res(x)
         kl_sum += kl
-        return jax.nn.relu(out + residual), kl_sum
+        return F.relu(out + residual), kl_sum
 
 
 class LargeResNet(nnx.Module):
@@ -215,7 +216,7 @@ class LargeResNet(nnx.Module):
 
     def __call__(self, x):
         if self.estimator is None:
-            out = jax.nn.relu(self.bn1(self.conv1(x)))
+            out = F.relu(self.bn1(self.conv1(x)))
             out = self.maxpool(out)
             for layer in (self.layer1, self.layer2, self.layer3,
                           self.layer4):
@@ -227,7 +228,7 @@ class LargeResNet(nnx.Module):
         kl_sum = 0.0
         out, kl = self.conv1(x)
         kl_sum += kl
-        out = jax.nn.relu(self.bn1(out))
+        out = F.relu(self.bn1(out))
         out = self.maxpool(out)
         for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
             for block in layer:

@@ -71,14 +71,14 @@ class _SCNN(nnx.Module):
     def __call__(self, x):
         kl_sum = 0.0
         x, kl_sum = self._maybe(self.conv1(x), kl_sum)
-        x = jax.nn.relu(x)
+        x = F.relu(x)
         x, kl_sum = self._maybe(self.conv2(x), kl_sum)
-        x = jax.nn.relu(x)
+        x = F.relu(x)
         x = F.max_pool_nd(x, 2)
         x = self.dropout1(x)
         x = x.reshape(x.shape[0], -1)
         x, kl_sum = self._maybe(self.fc1(x), kl_sum)
-        x = jax.nn.relu(x)
+        x = F.relu(x)
         x = self.dropout2(x)
         x, kl_sum = self._maybe(self.fc2(x), kl_sum)
         output = jax.nn.log_softmax(x, axis=1)

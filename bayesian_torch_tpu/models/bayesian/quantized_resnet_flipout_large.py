@@ -23,13 +23,15 @@ def _make_q(name):
 
     def factory(num_classes: int = 1000, *, rngs=None,
                 calibrate: Optional[Callable] = None,
-                fuse_conv_bn: bool = False, **kwargs):
+                fuse_conv_bn: bool = False,
+                quantize_activations: bool = True, **kwargs):
         model = float_factory(num_classes=num_classes, rngs=rngs, **kwargs)
         model.eval()
         prepare(model)
         if calibrate is not None:
             calibrate(model)
-        convert(model, fuse_conv_bn=fuse_conv_bn)
+        convert(model, fuse_conv_bn=fuse_conv_bn,
+                quantize_activations=quantize_activations)
         return model
 
     factory.__name__ = "q" + name

@@ -128,12 +128,19 @@ def _children(m):
             if isinstance(v, nnx.Module)}
 
 
-def bnn_to_qbnn(m, fuse_conv_bn: bool = False):
+def bnn_to_qbnn(m, fuse_conv_bn: bool = False,
+                quantize_activations: bool = False):
     """In-place surgery: Bayesian layers -> Quantized twins.
 
     Mirrors reference bnn_to_qbnn.py:198-237 including the conv+BN
     fusion driven by conv1/bn1..conv3/bn3 and downsample=[conv, bn]
     naming conventions.
+
+    ``quantize_activations=True`` sets ``q_output`` on every quantized
+    CONV layer so activations stay uint8 between layers (QTensor flow,
+    ops/qtensor.py) — the torch-equivalent of keeping quantized tensors
+    flowing through QuantStubs. Linear layers still emit fp32 so model
+    heads return plain arrays.
     """
     children = _children(m)
     for name, value in children.items():
@@ -146,12 +153,15 @@ def bnn_to_qbnn(m, fuse_conv_bn: bool = False):
         if grand and not is_bayes_lstm:
             if "Conv" in cls_name and isinstance(value,
                                                  BaseVariationalLayer):
-                setattr(m, name, qbnn_conv_layer(value))
+                ql = qbnn_conv_layer(value)
+                ql.q_output = quantize_activations
+                setattr(m, name, ql)
             elif "Linear" in cls_name and isinstance(value,
                                                      BaseVariationalLayer):
                 setattr(m, name, qbnn_linear_layer(value))
             else:
-                bnn_to_qbnn(value, fuse_conv_bn=fuse_conv_bn)
+                bnn_to_qbnn(value, fuse_conv_bn=fuse_conv_bn,
+                            quantize_activations=quantize_activations)
         elif "Linear" in cls_name and isinstance(value,
                                                  BaseVariationalLayer):
             setattr(m, name, qbnn_linear_layer(value))
@@ -160,7 +170,9 @@ def bnn_to_qbnn(m, fuse_conv_bn: bool = False):
         elif "Conv" in cls_name and isinstance(value,
                                                BaseVariationalLayer):
             if not fuse_conv_bn:
-                setattr(m, name, qbnn_conv_layer(value))
+                ql = qbnn_conv_layer(value)
+                ql.q_output = quantize_activations
+                setattr(m, name, ql)
             # fused convs are handled below via naming conventions
 
     if fuse_conv_bn:
@@ -171,13 +183,17 @@ def bnn_to_qbnn(m, fuse_conv_bn: bool = False):
                 conv, bn = children[cname], children[bname]
                 if (isinstance(conv, BaseVariationalLayer)
                         and "Identity" not in type(bn).__name__):
-                    setattr(m, cname, batch_norm_folding(conv, bn))
+                    ql = batch_norm_folding(conv, bn)
+                    ql.q_output = quantize_activations
+                    setattr(m, cname, ql)
                     setattr(m, bname, Identity())
         ds = getattr(m, "downsample", None)
         if ds is not None and type(ds).__name__ == "Sequential" \
                 and len(ds) == 2:
             if (isinstance(ds[0], BaseVariationalLayer)
                     and "Identity" not in type(ds[1]).__name__):
-                ds._0 = batch_norm_folding(ds[0], ds[1])
+                ql = batch_norm_folding(ds[0], ds[1])
+                ql.q_output = quantize_activations
+                ds._0 = ql
                 ds._1 = Identity()
     return

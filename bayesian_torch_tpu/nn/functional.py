@@ -7,6 +7,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from bayesian_torch_tpu.ops.qtensor import (  # noqa: F401  (re-export)
+    QTensor,
+    dequantize_if_qtensor,
+    relu,
+)
+
 
 def _ntuple(x, n) -> Tuple[int, ...]:
     if isinstance(x, (tuple, list)):
@@ -32,7 +38,17 @@ def _pool_dims(x, kernel_size, stride, padding, data_format):
 
 def max_pool_nd(x, kernel_size, stride=None, padding=0, *,
                 data_format="NCHW"):
-    """torch max_pool{1,2,3}d (-inf padding); data_format NCHW or NHWC."""
+    """torch max_pool{1,2,3}d (-inf padding); data_format NCHW or NHWC.
+
+    QTensor inputs pool directly on the uint8 payload (max is monotonic
+    in the quantized domain; uint8 pad value 0 represents the most
+    negative representable real, the -inf analog)."""
+    if isinstance(x, QTensor):
+        _, window, strides, pads = _pool_dims(x.q, kernel_size, stride,
+                                              padding, data_format)
+        out = jax.lax.reduce_window(x.q, jnp.uint8(0), jax.lax.max,
+                                    window, strides, pads)
+        return QTensor(out, x.scale, x.zp)
     _, window, strides, pads = _pool_dims(x, kernel_size, stride, padding,
                                           data_format)
     return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, window, strides,
@@ -42,6 +58,7 @@ def max_pool_nd(x, kernel_size, stride=None, padding=0, *,
 def avg_pool_nd(x, kernel_size, stride=None, padding=0,
                 count_include_pad=True, *, data_format="NCHW"):
     """torch avg_pool{1,2,3}d; data_format NCHW or NHWC."""
+    x = dequantize_if_qtensor(x)
     k, window, strides, pads = _pool_dims(x, kernel_size, stride, padding,
                                           data_format)
     summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, strides, pads)

@@ -250,3 +250,107 @@ class TestFullModelPTQ:
         out, kl = m(x)
         assert out.shape == (2, 10)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestQTensorFlow:
+    """uint8 activations flowing BETWEEN quantized layers (QTensor,
+    ops/qtensor.py) — the torch-equivalent of quantized tensors flowing
+    through QuantStub/FloatFunctional graphs. With matching scales the
+    quantized-domain relu/add/maxpool are exact vs the fp32 round-trip
+    flow; residual adds additionally clip to the representable range
+    (as torch's quantized add does)."""
+
+    def test_primitives_exact(self):
+        from bayesian_torch_tpu.nn import functional as F
+        from bayesian_torch_tpu.ops.qtensor import QTensor
+
+        rs = np.random.RandomState(0)
+        x = rs.randn(2, 4, 8, 8).astype(np.float32) * 5
+        s, z = 0.2, 128
+        xq = QTensor(q.quantize_uint8(jnp.asarray(x), s, z), s, z)
+
+        # relu: max in q-domain == quantize(relu(dequantize))
+        ref = q.quantize_uint8(jax.nn.relu(xq.dequantize()), s, z)
+        np.testing.assert_array_equal(np.asarray(xq.relu().q),
+                                      np.asarray(ref))
+
+        # add (same scale): integer add == quantize(deq+deq), clipped
+        y = rs.randn(2, 4, 8, 8).astype(np.float32) * 5
+        yq = QTensor(q.quantize_uint8(jnp.asarray(y), s, z), s, z)
+        ref = q.quantize_uint8(xq.dequantize() + yq.dequantize(), s, z)
+        np.testing.assert_array_equal(np.asarray((xq + yq).q),
+                                      np.asarray(ref))
+
+        # add (different scales) falls back to fp32
+        zq = QTensor(q.quantize_uint8(jnp.asarray(y), 0.1, z), 0.1, z)
+        out = xq + zq
+        assert not isinstance(out, QTensor)
+        np.testing.assert_allclose(
+            np.asarray(out),
+            np.asarray(xq.dequantize() + zq.dequantize()), rtol=1e-6)
+
+        # maxpool: uint8 pooling == quantize(pool(dequantize))
+        pooled = F.max_pool_nd(xq, 2)
+        ref = q.quantize_uint8(
+            F.max_pool_nd(xq.dequantize(), 2), s, z)
+        np.testing.assert_array_equal(np.asarray(pooled.q),
+                                      np.asarray(ref))
+
+        # requantize: direct uint8->uint8 == quantize(dequantize)
+        r = xq.requantize(0.1, 120)
+        ref = jnp.round(xq.dequantize() * (1 / 0.1)) + 120
+        np.testing.assert_array_equal(
+            np.asarray(r.q),
+            np.asarray(jnp.clip(ref, 0, 255).astype(jnp.uint8)))
+
+    def test_scnn_qtensor_flow_matches_fp32_flow(self):
+        """No residual adds in SCNN: uint8 flow must be bit-identical to
+        the fp32 round-trip flow."""
+        from bayesian_torch_tpu.models.bayesian.simple_cnn_variational \
+            import SCNN
+        from bayesian_torch_tpu.quantization import convert, prepare
+
+        x = jnp.asarray(np.random.RandomState(4).randn(2, 1, 28, 28)
+                        .astype(np.float32))
+        outs = []
+        for qa in (False, True):
+            m = SCNN(rngs=nnx.Rngs(params=0, noise=1))
+            m.eval()
+            prepare(m)
+            convert(m, quantize_activations=qa)
+            out, _ = m(x)
+            outs.append(np.asarray(out))
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+
+    def test_qresnet_qtensor_flow(self):
+        """ResNet (residual adds): with activations inside the
+        representable range the flows agree exactly; q_output set on
+        convs only (model head returns a plain array).
+
+        Random-init ResNets grow activations geometrically (BN folding
+        of default-init BN is the identity), saturating the
+        uncalibrated +-25.4 range — where the uint8 residual add clips
+        (like torch's quantized add) but the fp32 flow doesn't. Shrink
+        the posteriors so everything stays in range; then the flows
+        must agree bit-exactly."""
+        from bayesian_torch_tpu.models._large_resnet import make_factories
+        from bayesian_torch_tpu.quantization import convert, prepare
+
+        factory = make_factories("Reparameterization")["resnet18"]
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 3, 32, 32)
+                        .astype(np.float32))
+        outs = []
+        for qa in (False, True):
+            m = factory(rngs=nnx.Rngs(params=jax.random.key(0),
+                                      noise=jax.random.key(1)))
+            m.eval()
+            for _, mod in nnx.iter_modules(m):
+                if getattr(mod, "mu_kernel", None) is not None:
+                    mod.mu_kernel[...] = mod.mu_kernel[...] * 0.5
+            prepare(m)
+            convert(m, fuse_conv_bn=True, quantize_activations=qa)
+            out, _ = m(x)
+            assert isinstance(out, jax.Array)  # head emits fp32
+            outs.append(np.asarray(out))
+        assert np.abs(outs[0]).max() > 1.0  # non-degenerate signal
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
