@@ -170,6 +170,49 @@ def qconv(x_q, x_scale, x_zp, w_q, w_scale, bias_f32, out_scale, out_zp, *,
                       bias_f32, out_scale, out_zp)
         return out.reshape(x_s.shape[:-1] + (w_q.shape[0],))
 
+    # Spatial channels-last convs: uint8 im2col -> the SAME fused
+    # Pallas GEMM+requant kernel. At int8 precision the patch tensor's
+    # k*k blowup is cheap (uint8 bytes; ~0.1-0.3 ms across all of
+    # ResNet-50), and it buys the same property the 1x1 path has: the
+    # s32 accumulator and the requantize epilogue stay fused in VMEM
+    # instead of costing two extra HBM passes per conv (the measured
+    # dominant int8 overhead — ROADMAP.md). Padding with the activation
+    # zero-point makes borders exact automatically: the kernel computes
+    # sum w*(x_q - zp), and padded taps hold x_q == zp, contributing 0.
+    if (_pallas_qmatmul_enabled() and not transposed and groups == 1
+            and data_format.endswith("C") and x_q.ndim == nd + 2
+            and isinstance(x_zp, (int, float))):
+        k = w_q.shape[2:]
+        st, pd, dl = _as_tuple(stride), _as_tuple(padding), _as_tuple(
+            dilation)
+        zp_u8 = jnp.uint8(int(x_zp))
+        pad_cfg = ((0, 0),) + tuple((p, p) for p in pd) + ((0, 0),)
+        xp = jnp.pad(x_q, pad_cfg, constant_values=zp_u8)
+        sp_in = xp.shape[1:-1]
+        out_sp = tuple(
+            (sp_in[i] - dl[i] * (k[i] - 1) - 1) // st[i] + 1
+            for i in range(nd))
+        # one strided slice per tap, stacked on a new trailing tap axis
+        taps = []
+        from itertools import product
+        for offs in product(*(range(ki) for ki in k)):
+            sl = (slice(None),) + tuple(
+                slice(offs[i] * dl[i],
+                      offs[i] * dl[i] + st[i] * (out_sp[i] - 1) + 1,
+                      st[i])
+                for i in range(nd)) + (slice(None),)
+            taps.append(xp[sl])
+        patches = jnp.stack(taps, axis=-2)  # (B, *out_sp, k*k, C)
+        kk = patches.shape[-2]
+        cin = x_q.shape[-1]
+        import math
+        m = patches.shape[0] * math.prod(out_sp)
+        # w (O, I, *k) -> (O, (*k, I) flat) to match the patch order
+        w2 = jnp.moveaxis(w_q, 1, -1).reshape(w_q.shape[0], kk * cin)
+        out = qlinear(patches.reshape(m, kk * cin), x_scale, x_zp, w2,
+                      w_scale, bias_f32, out_scale, out_zp)
+        return out.reshape((x_q.shape[0],) + out_sp + (w_q.shape[0],))
+
     from bayesian_torch_tpu.ops import conv as conv_ops
 
     def _conv(x, w, g):

@@ -182,9 +182,13 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
                 kl_off.append(mod)
     # NOTE: presample routes weight draws through the fused Pallas batch
     # sampler (ops/pallas/sampled_weights.py). Measured end-to-end it
-    # currently LOSES to the XLA path on ResNet-50 (the flat-buffer
-    # slices force per-conv weight relayouts); kept as opt-in until the
-    # sampler emits layout-native per-layer tiles. Default: off.
+    # LOSES to the XLA path on conv models and always will: the
+    # flagship's total in-vmap sampling overhead is ~0.9 ms/step (XLA
+    # fuses rbg bits + mu+sigma*eps directly into each conv's weight
+    # materialization), below the batch sampler's 5.4 ms kernel time
+    # alone. Kept as opt-in for GEMM-heavy models where the fused
+    # sampler genuinely wins (see ROADMAP.md "presample" entry for the
+    # full measurement trail). Default: off.
     use_presample = (presample == "on"
                      or (presample == "auto" and num_mc > 1
                          and jax.default_backend() == "tpu"))

@@ -354,3 +354,38 @@ class TestQTensorFlow:
             outs.append(np.asarray(out))
         assert np.abs(outs[0]).max() > 1.0  # non-degenerate signal
         np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+
+
+class TestIm2colQConv:
+    """Spatial channels-last qconv routes through uint8 im2col + the
+    fused Pallas GEMM+requant kernel (interpret mode on CPU). Must be
+    bit-exact vs the XLA conv formulation, including zero-point != 128
+    borders (padding with the zp value makes sum w*(x_q - zp) vanish on
+    padded taps automatically)."""
+
+    @pytest.mark.parametrize(
+        "k,stride,pad,dil,cin,cout,zp",
+        [(3, 1, 1, 1, 16, 32, 128),
+         (3, 2, 1, 1, 16, 32, 128),
+         (7, 2, 3, 1, 3, 16, 128),
+         (3, 1, 2, 2, 8, 8, 120),
+         (5, 1, 0, 1, 8, 8, 100)])
+    def test_matches_xla_qconv(self, k, stride, pad, dil, cin, cout, zp):
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randint(0, 256, (2, 14, 14, cin)), jnp.uint8)
+        w = jnp.asarray(rs.randint(-128, 128, (cout, cin, k, k)), jnp.int8)
+        b = jnp.asarray(rs.randn(cout).astype(np.float32))
+        args = dict(stride=stride, padding=pad, dilation=dil,
+                    data_format="NHWC")
+        old = q.USE_PALLAS_QMATMUL
+        try:
+            q.USE_PALLAS_QMATMUL = False
+            ref = q.qconv(x, 0.05, zp, w, 0.01, b, 0.1, 128, **args)
+            q.USE_PALLAS_QMATMUL = True
+            got = q.qconv(x, 0.05, zp, w, 0.01, b, 0.1, 128, **args)
+        finally:
+            q.USE_PALLAS_QMATMUL = old
+        assert got.shape == ref.shape
+        d = np.abs(np.asarray(ref, np.int32)
+                   - np.asarray(got, np.int32)).max()
+        assert d <= 1, d
