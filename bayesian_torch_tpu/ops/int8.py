@@ -20,14 +20,38 @@ import jax
 import jax.numpy as jnp
 
 # Pallas fused GEMM+requant (K4): tri-state override for tests/benches.
-# None = auto (on for the TPU backend, off elsewhere).
+# None = auto (on for the TPU backend, off elsewhere). Env overrides
+# (BTT_PALLAS_QMATMUL / BTT_INT8_IM2COL = 0|1) support controlled A/Bs.
 USE_PALLAS_QMATMUL = None
+# im2col routing of SPATIAL convs into the fused GEMM kernel (1x1 convs
+# always qualify when the kernel is enabled).
+USE_INT8_IM2COL = None
+
+
+def _env_flag(name):
+    import os
+    v = os.environ.get(name)
+    if v is None or v == "":
+        return None
+    return v not in ("0", "false", "off")
 
 
 def _pallas_qmatmul_enabled():
+    env = _env_flag("BTT_PALLAS_QMATMUL")
+    if env is not None:
+        return env
     if USE_PALLAS_QMATMUL is not None:
         return USE_PALLAS_QMATMUL
     return jax.default_backend() == "tpu"
+
+
+def _im2col_enabled():
+    env = _env_flag("BTT_INT8_IM2COL")
+    if env is not None:
+        return env
+    if USE_INT8_IM2COL is not None:
+        return USE_INT8_IM2COL
+    return True
 
 
 def symmetric_scale(x, upper_bound=100.0, target_range=255.0,
@@ -179,7 +203,8 @@ def qconv(x_q, x_scale, x_zp, w_q, w_scale, bias_f32, out_scale, out_zp, *,
     # dominant int8 overhead — ROADMAP.md). Padding with the activation
     # zero-point makes borders exact automatically: the kernel computes
     # sum w*(x_q - zp), and padded taps hold x_q == zp, contributing 0.
-    if (_pallas_qmatmul_enabled() and not transposed and groups == 1
+    if (_pallas_qmatmul_enabled() and _im2col_enabled()
+            and not transposed and groups == 1
             and data_format.endswith("C") and x_q.ndim == nd + 2
             and isinstance(x_zp, (int, float))):
         k = w_q.shape[2:]
