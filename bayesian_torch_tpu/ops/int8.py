@@ -37,12 +37,19 @@ def _env_flag(name):
 
 
 def _pallas_qmatmul_enabled():
+    # Default OFF (round-2 controlled A/B, qresnet50 MC-1 bs32 NHWC):
+    # XLA int8 convs + their fused requant epilogues run the model at
+    # 3.80 ms; routing 1x1 convs into the Pallas GEMM kernel gives
+    # 5.79 ms and full im2col routing 20 ms. XLA's dot/conv epilogue
+    # fusion beats the hand-written kernel at these shapes — the kernel
+    # remains available (flags/env) and exact for cases where a fused
+    # epilogue is not otherwise available.
     env = _env_flag("BTT_PALLAS_QMATMUL")
     if env is not None:
         return env
     if USE_PALLAS_QMATMUL is not None:
         return USE_PALLAS_QMATMUL
-    return jax.default_backend() == "tpu"
+    return False
 
 
 def _im2col_enabled():
