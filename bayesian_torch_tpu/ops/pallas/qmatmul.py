@@ -1,10 +1,21 @@
 """K4 proper: fused int8 GEMM + requantization epilogue (Pallas/MXU).
 
 The XLA int8 path materializes every conv/GEMM's s32 accumulator to HBM
-(4 B/element) and then runs a separate requantize fusion over it —
-profiled at ~3.4 ms of the 4.3 ms QBNN ResNet-50 step (bs=32). This
+(4 B/element) and then runs a separate requantize fusion over it. This
 kernel keeps the s32 accumulator in VMEM and writes the requantized
-uint8 activation directly:
+uint8 activation directly.
+
+STATUS (round-2 controlled A/B, ROADMAP.md): despite the fused
+epilogue, routing ResNet-50's convs through this kernel LOSES to XLA's
+conv + separate requant fusions (qresnet50 MC-1 bs32 NHWC: 3.80 ms
+pure XLA vs 5.79 ms with 1x1 routing) because the Mosaic matmul
+mainloop reaches only ~45-100 TOPS on v5e where XLA's own int8 dot
+hits ~340 TOPS (87% of peak) — a codegen gap that block sizes, operand
+layouts (NT vs NN), pre-centered s8 inputs, and dimension_semantics do
+not close (and Pallas bf16 dots measure the same ~45 TOPS, so it is
+not the int8 mode). Routing is default-off (ops/int8.py); the kernel
+remains exact, tested, and available behind flags for shapes where a
+fused epilogue matters more than mainloop throughput:
 
     out_q = clamp(round(acc * alpha + beta[n]), 0, 255)  (uint8)
 
