@@ -44,20 +44,20 @@ def _pallas_qmatmul_enabled():
     # fusion beats the hand-written kernel at these shapes — the kernel
     # remains available (flags/env) and exact for cases where a fused
     # epilogue is not otherwise available.
+    if USE_PALLAS_QMATMUL is not None:  # explicit code beats ambient env
+        return USE_PALLAS_QMATMUL
     env = _env_flag("BTT_PALLAS_QMATMUL")
     if env is not None:
         return env
-    if USE_PALLAS_QMATMUL is not None:
-        return USE_PALLAS_QMATMUL
     return False
 
 
 def _im2col_enabled():
+    if USE_INT8_IM2COL is not None:
+        return USE_INT8_IM2COL
     env = _env_flag("BTT_INT8_IM2COL")
     if env is not None:
         return env
-    if USE_INT8_IM2COL is not None:
-        return USE_INT8_IM2COL
     return True
 
 
