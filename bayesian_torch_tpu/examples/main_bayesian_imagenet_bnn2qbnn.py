@@ -33,6 +33,9 @@ def build_parser():
     p.add_argument("--bnn-type", type=str, default="Reparameterization")
     p.add_argument("--bnn-ckpt", type=str, default=None)
     p.add_argument("--fuse-conv-bn", action="store_true")
+    p.add_argument("--quantize-activations", action="store_true",
+                   help="keep activations uint8 between conv layers "
+                        "(QTensor flow; fastest INT8 path on TPU)")
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--synthetic", action="store_true")
     return p
@@ -74,7 +77,8 @@ def main(argv=None):
         calib_step(model, jnp.asarray(xb))
         if i >= 2:
             break
-    convert(model, fuse_conv_bn=args.fuse_conv_bn)
+    convert(model, fuse_conv_bn=args.fuse_conv_bn,
+            quantize_activations=args.quantize_activations)
 
     print("INT8 QBNN eval:")
     engine.evaluate(model, test_data, batch_size=args.batch_size,
