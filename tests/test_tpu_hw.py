@@ -241,3 +241,56 @@ def test_qmatmul_pallas_matches_xla_on_hw():
     diff = np.abs(got.astype(int) - ref.astype(int))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 0.001
+
+
+def test_qtensor_flow_matches_fp32_flow_on_hw():
+    """QTensor uint8 activation flow vs fp32 round-trip flow on the
+    real chip (SCNN: no residual adds, so bit-identical logits)."""
+    _require_tpu()
+    from bayesian_torch_tpu.models.bayesian.simple_cnn_variational import (
+        SCNN,
+    )
+    from bayesian_torch_tpu.quantization import convert, prepare
+
+    x = jnp.asarray(np.random.RandomState(4).randn(4, 1, 28, 28)
+                    .astype(np.float32))
+    outs = []
+    for qa in (False, True):
+        m = SCNN(rngs=nnx.Rngs(params=0, noise=1))
+        m.eval()
+        prepare(m)
+        convert(m, quantize_activations=qa)
+        gd, st = nnx.split(m)
+
+        @jax.jit
+        def fwd(st, x):
+            mm = nnx.merge(gd, st)
+            out, _ = mm(x)
+            return out
+
+        outs.append(np.asarray(fwd(st, x)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+
+
+def test_im2col_qconv_matches_xla_on_hw():
+    """uint8 im2col + fused Pallas GEMM vs XLA conv formulation, on
+    hardware (CPU lane runs this in interpret mode only)."""
+    _require_tpu()
+    from bayesian_torch_tpu.ops import int8 as q
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randint(0, 256, (2, 14, 14, 16)), jnp.uint8)
+    w = jnp.asarray(rs.randint(-128, 128, (32, 16, 3, 3)), jnp.int8)
+    b = jnp.asarray(rs.randn(32).astype(np.float32))
+    old = q.USE_PALLAS_QMATMUL
+    try:
+        q.USE_PALLAS_QMATMUL = False
+        ref = q.qconv(x, 0.05, 120, w, 0.01, b, 0.1, 128, stride=2,
+                      padding=1, data_format="NHWC")
+        q.USE_PALLAS_QMATMUL = True
+        got = q.qconv(x, 0.05, 120, w, 0.01, b, 0.1, 128, stride=2,
+                      padding=1, data_format="NHWC")
+    finally:
+        q.USE_PALLAS_QMATMUL = old
+    d = np.abs(np.asarray(ref, np.int32) - np.asarray(got, np.int32)).max()
+    assert d <= 1, d
