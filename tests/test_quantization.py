@@ -322,6 +322,24 @@ class TestQTensorFlow:
             outs.append(np.asarray(out))
         np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
 
+    def test_qtensor_flow_composes_with_mc_forward(self):
+        """QTensor intermediates (registered pytree) ride the vmapped
+        MC axis; draws stay independent per lane."""
+        from bayesian_torch_tpu.models.bayesian.simple_cnn_variational \
+            import SCNN
+        from bayesian_torch_tpu.parallel import mc_forward
+        from bayesian_torch_tpu.quantization import convert, prepare
+
+        m = SCNN(rngs=nnx.Rngs(params=0, noise=1))
+        m.eval()
+        prepare(m)
+        convert(m, quantize_activations=True)
+        x = jnp.asarray(np.random.RandomState(0).randn(4, 1, 28, 28)
+                        .astype(np.float32))
+        outs = mc_forward(m, x, 3, return_kl=False)
+        assert outs.shape == (3, 4, 10)
+        assert not np.allclose(np.asarray(outs[0]), np.asarray(outs[1]))
+
     def test_qresnet_qtensor_flow(self):
         """ResNet (residual adds): with activations inside the
         representable range the flows agree exactly; q_output set on
