@@ -186,9 +186,10 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
     # flagship's total in-vmap sampling overhead is ~0.9 ms/step (XLA
     # fuses rbg bits + mu+sigma*eps directly into each conv's weight
     # materialization), below the batch sampler's 5.4 ms kernel time
-    # alone. Kept as opt-in for GEMM-heavy models where the fused
-    # sampler genuinely wins (see ROADMAP.md "presample" entry for the
-    # full measurement trail). Default: off.
+    # alone. The sampler only beats XLA under threefry keys (13.1 vs
+    # 11.1 ms for 10x25.5M draws); with the recommended rbg keys XLA
+    # wins (7.4 ms). See ROADMAP.md "presample" entry for the full
+    # measurement trail. Default: off.
     use_presample = (presample == "on"
                      or (presample == "auto" and num_mc > 1
                          and jax.default_backend() == "tpu"))
