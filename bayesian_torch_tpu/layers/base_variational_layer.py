@@ -22,6 +22,7 @@ import collections.abc
 import threading
 from itertools import repeat
 
+import jax
 import jax.numpy as jnp
 from flax import nnx
 
@@ -64,11 +65,20 @@ def default_rngs() -> nnx.Rngs:
     keeps RNG state globally); to preserve that constructor surface each
     no-arg construction draws a new seed from a process-global counter.
     Pass ``rngs=nnx.Rngs(...)`` explicitly for reproducibility.
+
+    The noise stream uses ``rbg`` keys on TPU: the hardware RNG makes
+    per-forward weight draws ~2x cheaper than the threefry default
+    (measured 7.4 vs 13.1 ms for 10x25.5M draws — BASELINE.md), and
+    every example/bench already passes rbg noise keys explicitly.
     """
     with _default_rngs_lock:
         seed = _default_rngs_seed[0]
         _default_rngs_seed[0] += 1
-    return nnx.Rngs(params=seed, noise=seed + 0x9E3779B9)
+    if jax.default_backend() == "tpu":
+        noise = jax.random.key(seed + 0x9E3779B9, impl="rbg")
+    else:
+        noise = seed + 0x9E3779B9
+    return nnx.Rngs(params=seed, noise=noise)
 
 
 def seed_default_rngs(seed: int) -> None:
