@@ -56,9 +56,18 @@ def _layer_factories(estimator, rngs):
 
 
 def _option_a_shortcut(x, planes):
-    """Zero-pad option-A shortcut (resnet_variational.py:75-78)."""
-    x = x[:, :, ::2, ::2]
+    """Zero-pad option-A shortcut (resnet_variational.py:75-78).
+
+    QTensor inputs (INT8 quantize_activations flow) stay in the
+    quantized domain: real 0 is the zero-point value, so channel
+    padding pads ``q`` with ``zp`` and keeps (scale, zp)."""
     pad = planes // 4
+    if isinstance(x, F.QTensor):
+        q = x.q[:, :, ::2, ::2]
+        q = jnp.pad(q, ((0, 0), (pad, pad), (0, 0), (0, 0)),
+                    constant_values=jnp.uint8(x.zp))
+        return F.QTensor(q, x.scale, x.zp)
+    x = x[:, :, ::2, ::2]
     return jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0)))
 
 

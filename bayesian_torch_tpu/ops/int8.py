@@ -20,20 +20,21 @@ import jax
 import jax.numpy as jnp
 
 # Pallas fused GEMM+requant (K4): tri-state override for tests/benches.
-# None = auto (on for the TPU backend, off elsewhere). Env overrides
+# None resolves to OFF everywhere (measured A/B below). Env overrides
 # (BTT_PALLAS_QMATMUL / BTT_INT8_IM2COL = 0|1) support controlled A/Bs.
 USE_PALLAS_QMATMUL = None
 # im2col routing of SPATIAL convs into the fused GEMM kernel (1x1 convs
-# always qualify when the kernel is enabled).
+# always qualify when the kernel is enabled). Separate explicit opt-in:
+# it measured WORSE than 1x1-only routing (20.5 vs 5.79 ms, ROADMAP.md).
 USE_INT8_IM2COL = None
 
 
 def _env_flag(name):
     import os
     v = os.environ.get(name)
-    if v is None or v == "":
+    if v is None or v.strip() == "":
         return None
-    return v not in ("0", "false", "off")
+    return v.strip().lower() not in ("0", "false", "off", "no")
 
 
 def _pallas_qmatmul_enabled():
@@ -58,7 +59,7 @@ def _im2col_enabled():
     env = _env_flag("BTT_INT8_IM2COL")
     if env is not None:
         return env
-    return True
+    return False
 
 
 def symmetric_scale(x, upper_bound=100.0, target_range=255.0,
@@ -131,9 +132,10 @@ def qlinear(x_q, x_scale, x_zp, w_q, w_scale, bias_f32, out_scale, out_zp):
     per-output correction using the weight column sums — this keeps
     both GEMM operands int8 for the MXU instead of upcasting.
 
-    On TPU the whole thing runs as ONE Pallas kernel (fused s32
-    accumulate + requantize, ops/pallas/qmatmul.py) so the s32
-    accumulator never exists in HBM.
+    With the (opt-in) Pallas routing the whole thing runs as ONE
+    fused s32-accumulate + requantize kernel (ops/pallas/qmatmul.py)
+    so the s32 accumulator never exists in HBM — default-off after the
+    measured A/B (see _pallas_qmatmul_enabled).
     """
     if _pallas_qmatmul_enabled():
         from bayesian_torch_tpu.ops.pallas.qmatmul import qmatmul_requant

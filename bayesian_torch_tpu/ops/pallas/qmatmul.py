@@ -27,9 +27,9 @@ folding):
     beta_n = bias_n / out_scale + out_zp
              + (128 - x_zp) * colsum_n * alpha
 
-Covers the uint8-activation x int8-weight GEMM shape used by qlinear
-and by 1x1 convs in channels-last layout (~80% of ResNet-50's output
-elements); the remaining spatial convs stay on the XLA path.
+Covers the uint8-activation x int8-weight GEMM shape used by qlinear,
+by 1x1 convs in channels-last layout, and (with USE_INT8_IM2COL) by
+spatial convs via uint8 im2col.
 
 Replaces the reference delegation to torch.nn.quantized.functional
 (quantize_linear_variational.py:172-189, oneDNN).

@@ -190,9 +190,9 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
     # 11.1 ms for 10x25.5M draws); with the recommended rbg keys XLA
     # wins (7.4 ms). See ROADMAP.md "presample" entry for the full
     # measurement trail. Default: off.
-    use_presample = (presample == "on"
-                     or (presample == "auto" and num_mc > 1
-                         and jax.default_backend() == "tpu"))
+    # 'auto' resolves to OFF: the measured conclusion above holds for
+    # every conv model tried; the sampler is explicit-opt-in only.
+    use_presample = presample == "on"
     presampled = []
     try:
         if use_presample:

@@ -40,7 +40,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp  # noqa: E402
 from flax import nnx  # noqa: E402
 
-BATCH = 64  # sweet spot: amortizes the batch-independent sampling cost
+BATCH = 128  # bs sweep (round 2, NHWC): 64->632 ips, 96->597, 128->948
 NUM_MC = 10
 IMG = 224
 N1, N2 = 3, 13

@@ -322,6 +322,31 @@ class TestQTensorFlow:
             outs.append(np.asarray(out))
         np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
 
+    def test_cifar_qtensor_flow_option_a_shortcut(self):
+        """CIFAR ResNets' zero-pad option-A shortcut must handle
+        QTensor block inputs (pads q with the zero-point; regression:
+        jnp.pad crashed on QTensor). Flows agree within 1 quantum
+        (integer adds vs fp32 tie-breaking)."""
+        from bayesian_torch_tpu.models.bayesian.resnet_variational \
+            import resnet20
+        from bayesian_torch_tpu.quantization import convert, prepare
+
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 3, 32, 32)
+                        .astype(np.float32))
+        outs = []
+        for qa in (False, True):
+            m = resnet20(rngs=nnx.Rngs(params=jax.random.key(0),
+                                       noise=jax.random.key(1)))
+            m.eval()
+            for _, mod in nnx.iter_modules(m):
+                if getattr(mod, "mu_kernel", None) is not None:
+                    mod.mu_kernel[...] = mod.mu_kernel[...] * 0.5
+            prepare(m)
+            convert(m, fuse_conv_bn=True, quantize_activations=qa)
+            out, _ = m(x)
+            outs.append(np.asarray(out))
+        np.testing.assert_allclose(outs[0], outs[1], atol=0.2 + 1e-6)
+
     def test_qtensor_flow_composes_with_mc_forward(self):
         """QTensor intermediates (registered pytree) ride the vmapped
         MC axis; draws stay independent per lane."""
@@ -395,14 +420,15 @@ class TestIm2colQConv:
         b = jnp.asarray(rs.randn(cout).astype(np.float32))
         args = dict(stride=stride, padding=pad, dilation=dil,
                     data_format="NHWC")
-        old = q.USE_PALLAS_QMATMUL
+        old = (q.USE_PALLAS_QMATMUL, q.USE_INT8_IM2COL)
         try:
             q.USE_PALLAS_QMATMUL = False
             ref = q.qconv(x, 0.05, zp, w, 0.01, b, 0.1, 128, **args)
             q.USE_PALLAS_QMATMUL = True
+            q.USE_INT8_IM2COL = True
             got = q.qconv(x, 0.05, zp, w, 0.01, b, 0.1, 128, **args)
         finally:
-            q.USE_PALLAS_QMATMUL = old
+            q.USE_PALLAS_QMATMUL, q.USE_INT8_IM2COL = old
         assert got.shape == ref.shape
         d = np.abs(np.asarray(ref, np.int32)
                    - np.asarray(got, np.int32)).max()

@@ -282,15 +282,16 @@ def test_im2col_qconv_matches_xla_on_hw():
     x = jnp.asarray(rs.randint(0, 256, (2, 14, 14, 16)), jnp.uint8)
     w = jnp.asarray(rs.randint(-128, 128, (32, 16, 3, 3)), jnp.int8)
     b = jnp.asarray(rs.randn(32).astype(np.float32))
-    old = q.USE_PALLAS_QMATMUL
+    old = (q.USE_PALLAS_QMATMUL, q.USE_INT8_IM2COL)
     try:
         q.USE_PALLAS_QMATMUL = False
         ref = q.qconv(x, 0.05, 120, w, 0.01, b, 0.1, 128, stride=2,
                       padding=1, data_format="NHWC")
         q.USE_PALLAS_QMATMUL = True
+        q.USE_INT8_IM2COL = True
         got = q.qconv(x, 0.05, 120, w, 0.01, b, 0.1, 128, stride=2,
                       padding=1, data_format="NHWC")
     finally:
-        q.USE_PALLAS_QMATMUL = old
+        q.USE_PALLAS_QMATMUL, q.USE_INT8_IM2COL = old
     d = np.abs(np.asarray(ref, np.int32) - np.asarray(got, np.int32)).max()
     assert d <= 1, d
