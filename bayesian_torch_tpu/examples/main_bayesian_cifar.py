@@ -20,6 +20,7 @@ from bayesian_torch_tpu.examples._data import load_cifar10
 from bayesian_torch_tpu.utils.checkpoint import (load_checkpoint,
                                                  save_checkpoint)
 from bayesian_torch_tpu.utils.util import MOPED
+from bayesian_torch_tpu.layers.base_variational_layer import make_rngs
 
 
 def build_parser(desc="Bayesian CIFAR10"):
@@ -62,7 +63,7 @@ def get_model(arch, seed, estimator="Reparameterization"):
     else:
         from bayesian_torch_tpu.models.bayesian import (
             resnet_variational as zoo)
-    return getattr(zoo, arch)(rngs=nnx.Rngs(params=seed, noise=seed + 1))
+    return getattr(zoo, arch)(rngs=make_rngs(seed, noise_seed=seed + 1))
 
 
 def run(args, estimator="Reparameterization"):
@@ -80,7 +81,7 @@ def run(args, estimator="Reparameterization"):
     if args.moped:
         from bayesian_torch_tpu.models.deterministic import resnet as det_zoo
         det = getattr(det_zoo, args.arch)(
-            rngs=nnx.Rngs(params=args.seed + 7, noise=args.seed + 8))
+            rngs=make_rngs(args.seed + 7, noise_seed=args.seed + 8))
         MOPED(model, det, args.moped_ckpt, args.delta)
         print(f"applied MOPED init (delta={args.delta})")
 

@@ -23,6 +23,7 @@ from bayesian_torch_tpu.examples._data import batches, load_cifar10
 from bayesian_torch_tpu.models import dnn_to_bnn, get_kl_loss
 from bayesian_torch_tpu.utils.checkpoint import (load_checkpoint,
                                                  save_checkpoint)
+from bayesian_torch_tpu.layers.base_variational_layer import make_rngs
 
 
 def build_parser():
@@ -52,7 +53,7 @@ def build_parser():
 def build_bnn(args):
     from bayesian_torch_tpu.models.deterministic import resnet as det_zoo
     model = getattr(det_zoo, args.arch)(
-        rngs=nnx.Rngs(params=args.seed, noise=args.seed + 1))
+        rngs=make_rngs(args.seed, noise_seed=args.seed + 1))
     if args.det_ckpt:
         load_checkpoint(model, args.det_ckpt)
 

@@ -24,6 +24,7 @@ from bayesian_torch_tpu.parallel import make_mesh, mc_forward, shard_batch
 from bayesian_torch_tpu.utils.checkpoint import (load_checkpoint,
                                                  save_checkpoint)
 from bayesian_torch_tpu.utils.util import MOPED
+from bayesian_torch_tpu.layers.base_variational_layer import make_rngs
 
 
 def build_parser(desc="Bayesian ImageNet"):
@@ -59,7 +60,7 @@ def get_model(arch, seed, num_classes, estimator="Reparameterization"):
         from bayesian_torch_tpu.models.bayesian import (
             resnet_variational_large as zoo)
     return getattr(zoo, arch)(num_classes=num_classes,
-                              rngs=nnx.Rngs(params=seed, noise=seed + 1))
+                              rngs=make_rngs(seed, noise_seed=seed + 1))
 
 
 def run(args, estimator="Reparameterization"):
@@ -83,7 +84,7 @@ def run(args, estimator="Reparameterization"):
             resnet_large as det_zoo)
         det = getattr(det_zoo, args.arch)(
             num_classes=args.num_classes,
-            rngs=nnx.Rngs(params=args.seed + 7, noise=args.seed + 8))
+            rngs=make_rngs(args.seed + 7, noise_seed=args.seed + 8))
         MOPED(model, det, args.moped_ckpt, args.delta)
         print(f"applied MOPED init (delta={args.delta})")
 

@@ -20,6 +20,7 @@ from bayesian_torch_tpu.examples._data import batches, load_imagenet_val
 from bayesian_torch_tpu.models import dnn_to_bnn
 from bayesian_torch_tpu.quantization import convert, prepare
 from bayesian_torch_tpu.utils.checkpoint import load_checkpoint
+from bayesian_torch_tpu.layers.base_variational_layer import make_rngs
 
 
 def build_parser():
@@ -51,7 +52,7 @@ def main(argv=None):
         resnet_large as det_zoo)
     model = getattr(det_zoo, args.arch)(
         num_classes=args.num_classes,
-        rngs=nnx.Rngs(params=args.seed, noise=args.seed + 1))
+        rngs=make_rngs(args.seed, noise_seed=args.seed + 1))
     dnn_to_bnn(model, {
         "prior_mu": 0.0, "prior_sigma": 1.0,
         "posterior_mu_init": 0.0, "posterior_rho_init": -4.0,

@@ -20,6 +20,7 @@ from bayesian_torch_tpu.models import dnn_to_bnn, get_kl_loss
 from bayesian_torch_tpu.parallel import mc_forward
 from bayesian_torch_tpu.utils.checkpoint import (load_checkpoint,
                                                  save_checkpoint)
+from bayesian_torch_tpu.layers.base_variational_layer import make_rngs
 
 
 def build_parser():
@@ -56,7 +57,7 @@ def main(argv=None):
         resnet_large as det_zoo)
     model = getattr(det_zoo, args.arch)(
         num_classes=args.num_classes,
-        rngs=nnx.Rngs(params=args.seed, noise=args.seed + 1))
+        rngs=make_rngs(args.seed, noise_seed=args.seed + 1))
     if args.det_ckpt:
         load_checkpoint(model, args.det_ckpt)
 

@@ -20,6 +20,7 @@ from flax import nnx
 from bayesian_torch_tpu.parallel import mc_forward
 from bayesian_torch_tpu.utils.checkpoint import (load_checkpoint,
                                                  save_checkpoint)
+from bayesian_torch_tpu.layers.base_variational_layer import make_rngs
 
 
 def build_parser():
@@ -93,7 +94,7 @@ def main(argv=None):
 
     model = BayesianLSTMRegressor(
         args.hidden, args.estimator,
-        nnx.Rngs(params=args.seed, noise=args.seed + 1))
+        make_rngs(args.seed, noise_seed=args.seed + 1))
     ckpt = os.path.join(args.save_dir, f"lstm_{args.estimator.lower()}")
 
     @nnx.jit

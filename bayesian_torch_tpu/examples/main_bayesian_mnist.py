@@ -18,6 +18,7 @@ from bayesian_torch_tpu.examples._data import load_mnist
 from bayesian_torch_tpu.models.bayesian.simple_cnn_variational import SCNN
 from bayesian_torch_tpu.utils.checkpoint import (load_checkpoint,
                                                  save_checkpoint)
+from bayesian_torch_tpu.layers.base_variational_layer import make_rngs
 
 
 def build_parser():
@@ -48,7 +49,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     train_data, test_data = load_mnist(args.data_dir, args.synthetic)
 
-    model = SCNN(rngs=nnx.Rngs(params=args.seed, noise=args.seed + 1))
+    model = SCNN(rngs=make_rngs(args.seed, noise_seed=args.seed + 1))
     ckpt_path = os.path.join(args.save_dir, "mnist_bayesian_scnn")
 
     mesh = None

@@ -18,6 +18,7 @@ from bayesian_torch_tpu.examples.main_deterministic_mnist import (
 )
 from bayesian_torch_tpu.utils.checkpoint import (load_checkpoint,
                                                  save_checkpoint)
+from bayesian_torch_tpu.layers.base_variational_layer import make_rngs
 
 
 def build_parser():
@@ -48,7 +49,7 @@ def main(argv=None):
         resnet_large as zoo)
     model = getattr(zoo, args.arch)(
         num_classes=args.num_classes,
-        rngs=nnx.Rngs(params=args.seed, noise=args.seed + 1))
+        rngs=make_rngs(args.seed, noise_seed=args.seed + 1))
     ckpt_path = os.path.join(args.save_dir, f"imagenet_det_{args.arch}")
 
     if args.mode == "train":

@@ -9,10 +9,11 @@ from flax import nnx
 
 from bayesian_torch_tpu.models.bayesian.simple_cnn_variational import SCNN
 from bayesian_torch_tpu.quantization import convert, prepare
+from bayesian_torch_tpu.layers.base_variational_layer import make_rngs
 
 
 def main():
-    model = SCNN(rngs=nnx.Rngs(params=0, noise=1))
+    model = SCNN(rngs=make_rngs(0, noise_seed=1))
     model.eval()
     x = jnp.asarray(np.random.RandomState(0)
                     .randn(1, 1, 28, 28).astype(np.float32))

@@ -87,6 +87,23 @@ def seed_default_rngs(seed: int) -> None:
         _default_rngs_seed[0] = seed
 
 
+def make_rngs(seed: int = 0, *, noise_seed: int | None = None) -> nnx.Rngs:
+    """Seeded ``nnx.Rngs`` with the TPU-fast noise stream.
+
+    Like ``nnx.Rngs(params=seed, noise=seed+1)`` but the noise key uses
+    the ``rbg`` implementation on TPU (hardware RNG; per-forward weight
+    draws measured ~2x cheaper than threefry — BASELINE.md). Use this in
+    trainers/benches instead of raw integer seeds.
+    """
+    if noise_seed is None:
+        noise_seed = seed + 1
+    if jax.default_backend() == "tpu":
+        noise = jax.random.key(noise_seed, impl="rbg")
+    else:
+        noise = noise_seed
+    return nnx.Rngs(params=seed, noise=noise)
+
+
 class BaseVariationalLayer(nnx.Module):
     """Shared base for all Bayesian layers.
 
