@@ -5,6 +5,7 @@ Round-1 numbers (BASELINE.md): det 23.7 ms, MC=1 16.5 ms, MC=4 85 ms
 removed the refresh forward; this script quantifies the MC=4 win.
 """
 
+import functools
 import json
 
 import jax
@@ -41,7 +42,7 @@ def bayes_step_fn(num_mc):
     opt = nnx.Optimizer(model, optax.sgd(0.01, 0.9), wrt=nnx.Param)
     gd, st = nnx.split((model, opt))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(st, x, y):
         model, opt = nnx.merge(gd, st)
 
