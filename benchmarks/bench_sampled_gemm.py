@@ -1,10 +1,11 @@
 """K1 sampled-GEMM: Pallas fused sample-then-matmul vs the XLA
-materialize-W path, on the shapes where each should win.
+materialize-W path.
 
-The flagship conv path is XLA's (ROADMAP: in-vmap sampling is ~free
-there); the Pallas kernel's home turf is large GEMMs with low weight
-reuse — big Linear layers / LSTM gates at small batch, where the
-XLA path pays a full W materialization per draw that dwarfs the GEMM.
+Measured outcome (round 2, v5e): the Pallas kernel loses ~2x at EVERY
+shape below (e.g. 32x4096x4096: 0.64 vs 0.31 ms) — rbg-keyed XLA
+sampling fuses into the GEMM operand materialization and the Mosaic
+matmul mainloop runs at ~45-100 TOPS vs XLA's ~340 (ROADMAP.md). This
+bench exists to keep that comparison reproducible as toolchains move.
 
 Prints one JSON line per (shape, impl). Run on the TPU.
 """
