@@ -37,3 +37,7 @@ from bayesian_torch_tpu.layers.flipout_layers.quantized_conv_flipout import (  #
     QuantizedConvTranspose2dFlipout,
     QuantizedConvTranspose3dFlipout,
 )
+from bayesian_torch_tpu.layers.base_variational_layer import (  # noqa: F401
+    make_rngs,
+    seed_default_rngs,
+)
