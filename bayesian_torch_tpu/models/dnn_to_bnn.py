@@ -99,9 +99,19 @@ def _flax_ct_geometry(d, nd):
     """Translate flax ConvTranspose geometry to torch conv-transpose
     (padding, output_padding).
 
-    torch output: (i-1)*s - 2p + dil*(k-1) + op + 1; flax 'SAME'
-    produces i*s and 'VALID' produces i*s + max(dil*(k-1) - s, 0).
-    Solving per spatial dim gives a closed form independent of i.
+    Our conv-transpose lowers to a regular conv with per-dim padding
+    (ke-1-p, ke-1-p+op) where ke = dil*(k-1)+1 (ops/conv.py:121-125);
+    flax routes string padding through lax.conv_transpose's
+    _conv_transpose_padding, which yields (pad_a, pad_b) per dim.
+    Matching the two gives the exact closed form p = ke-1-pad_a,
+    op = pad_b-pad_a for EVERY (k, s, dil) — including the SAME
+    odd-crop cases (op = -1, crops one extra on the right) and the
+    VALID k<s cases (op = s-ke) that round 2 refused. torch itself
+    restricts op to [0, max(stride, dilation)); our layer's direct
+    padding lowering has no such restriction, so the converted layer
+    is function-preserving even where strict torch geometry isn't.
+    (Reference converts every name-matched layer unconditionally,
+    dnn_to_bnn.py:127-154.)
     """
     strides = d.strides or 1
     dil = d.kernel_dilation or 1
@@ -109,22 +119,20 @@ def _flax_ct_geometry(d, nd):
     s_t = (strides,) * nd if isinstance(strides, int) else tuple(strides)
     d_t = (dil,) * nd if isinstance(dil, int) else tuple(dil)
 
-    if d.padding == "VALID":
-        return 0, 0, strides, dil
-    if d.padding == "SAME":
-        pads = []
+    if d.padding in ("VALID", "SAME"):
+        pads, out_pads = [], []
         for k, s, di in zip(ks, s_t, d_t):
-            tot = di * (k - 1) + 1 - s  # total crop; flax splits it
-            # floor-left/ceil-right, torch only crops symmetrically
-            if tot < 0 or tot % 2:
-                raise ValueError(
-                    "flax ConvTranspose SAME with kernel/stride/dilation "
-                    f"({k}/{s}/{di}) crops asymmetrically; torch "
-                    "conv-transpose geometry cannot represent it — "
-                    "rebuild the layer with explicit symmetric padding "
-                    "before dnn_to_bnn")
-            pads.append(tot // 2)
-        return tuple(pads), 0, strides, dil
+            ke = di * (k - 1) + 1  # dilated kernel extent
+            if d.padding == "VALID":
+                pad_a = ke - 1
+                pad_b = s - 1 + max(ke - s, 0)
+            else:  # SAME
+                pad_len = ke + s - 2
+                pad_a = ke - 1 if s > ke - 1 else -(-pad_len // 2)
+                pad_b = pad_len - pad_a
+            pads.append(ke - 1 - pad_a)
+            out_pads.append(pad_b - pad_a)
+        return tuple(pads), tuple(out_pads), strides, dil
     # explicit numeric padding: symmetric ints only
     pad = d.padding
     if isinstance(pad, int):

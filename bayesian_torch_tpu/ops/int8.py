@@ -73,7 +73,13 @@ def symmetric_scale(x, upper_bound=100.0, target_range=255.0,
 def quantize_int8(x, scale):
     """Symmetric int8 (zero_point = 0). Divisions by (possibly traced)
     scales are written as multiply-by-reciprocal: a traced scalar
-    divisor otherwise lowers to a per-element divide."""
+    divisor otherwise lowers to a per-element divide.
+
+    Rounding contract (here and in every reciprocal-rewritten quantize/
+    requantize below): when 1/scale is not exactly representable,
+    round-half-even ties can land 1 LSB away from torch's round(x/s).
+    The torch-oracle tests therefore assert agreement to ±1 quantum,
+    never bit-exactness (tests/test_quantization.py)."""
     q = jnp.round(x * (1.0 / scale))
     return jnp.clip(q, -128, 127).astype(jnp.int8)
 

@@ -48,17 +48,35 @@ def trace(logdir: str = "/tmp/bayesian_torch_tpu_trace"):
         yield logdir
 
 
-def summarize_trace(logdir: str, top: int = 20):
-    """Aggregate device-op durations from a trace written by ``trace``.
+def summarize_trace(logdir: str, top: int = 20, device_only: bool = True):
+    """Aggregate op durations from a trace written by ``trace``.
 
-    Returns [(op_name, total_ms)] sorted desc — a quick what's-hot view
-    without TensorBoard.
+    With ``device_only`` (default) only events on the TPU device's
+    "XLA Ops" track are counted — the actual on-chip fusion/op
+    executions — so the table is a per-op device-time profile rather
+    than a host python mirror. Returns [(op_name, total_ms)] desc.
     """
     totals = Counter()
     for f in glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True):
         with gzip.open(f, "rt") as fh:
             data = json.load(fh)
-        for ev in data.get("traceEvents", []):
-            if ev.get("ph") == "X" and "dur" in ev:
-                totals[ev.get("name", "?")] += ev["dur"]
+        events = data.get("traceEvents", [])
+        dev_pids, op_tids = set(), set()
+        for ev in events:
+            if ev.get("ph") == "M":
+                if ev["name"] == "process_name" and "TPU" in \
+                        ev["args"].get("name", ""):
+                    dev_pids.add(ev["pid"])
+                if ev["name"] == "thread_name" and \
+                        ev["args"].get("name") == "XLA Ops":
+                    op_tids.add((ev["pid"], ev.get("tid")))
+        for ev in events:
+            if ev.get("ph") != "X" or "dur" not in ev:
+                continue
+            if device_only:
+                if ev.get("pid") not in dev_pids:
+                    continue
+                if op_tids and (ev["pid"], ev.get("tid")) not in op_tids:
+                    continue
+            totals[ev.get("name", "?")] += ev["dur"]
     return [(name, dur / 1000.0) for name, dur in totals.most_common(top)]

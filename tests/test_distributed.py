@@ -21,7 +21,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_psum():
+def _spawn_workers():
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     worker = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
@@ -49,6 +49,20 @@ def test_two_process_distributed_psum():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return procs, outs
+
+
+def test_two_process_distributed_psum():
+    # the probed free port can be re-taken before the coordinator binds
+    # it (TOCTOU); retry the whole spawn on a bind failure
+    for attempt in range(3):
+        procs, outs = _spawn_workers()
+        bind_race = any(p.returncode != 0 and ("bind" in out.lower()
+                                               or "address already in use"
+                                               in out.lower())
+                        for p, out in zip(procs, outs))
+        if not bind_race or attempt == 2:
+            break
 
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"

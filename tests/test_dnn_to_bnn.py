@@ -184,22 +184,38 @@ def test_nnx_convtranspose_conversion_preserves_function():
                                atol=1e-4)
 
 
-def test_nnx_convtranspose_same_stride2_raises():
-    """SAME + even stride crops asymmetrically in flax — no exact torch
-    geometry; the conversion must refuse loudly, not silently drift."""
-    import pytest
+def test_nnx_convtranspose_geometry_grid():
+    """Every flax ConvTranspose SAME/VALID geometry — including the
+    odd-crop (op=-1) and stride>kernel (op=s-ke) cases round 2 refused
+    — converts to an exact function-preserving twin (the reference
+    converts every name-matched layer unconditionally,
+    dnn_to_bnn.py:127-154)."""
+    for pad in ("SAME", "VALID"):
+        for k, s, di in [(3, 2, 1), (2, 1, 1), (4, 3, 1), (2, 3, 1),
+                         (3, 2, 2), (5, 2, 1)]:
+            ct = nnx.ConvTranspose(3, 5, (k, k), strides=(s, s),
+                                   kernel_dilation=(di, di), padding=pad,
+                                   rngs=nnx.Rngs(0))
 
-    class Net(nnx.Module):
-        def __init__(self):
-            self.up = nnx.ConvTranspose(3, 5, (3, 3), strides=(2, 2),
-                                        padding="SAME", rngs=nnx.Rngs(0))
+            class Net(nnx.Module):
+                def __init__(self, ct):
+                    self.up = ct
 
-        def __call__(self, x):
-            return self.up(x)
+                def __call__(self, x):
+                    return self.up(x)
 
-    net = Net()
-    with pytest.raises(ValueError, match="asymmetric"):
-        dnn_to_bnn(net, dict(CONST_BNN_PRIOR_PARAMETERS))
+            net = Net(ct)
+            x = jnp.asarray(np.random.RandomState(0).randn(2, 6, 6, 3),
+                            jnp.float32)
+            ref = np.asarray(net(x))
+            dnn_to_bnn(net, dict(CONST_BNN_PRIOR_PARAMETERS,
+                                 moped_enable=True, moped_delta=0.5))
+            out = net.up(x, eps_k=jnp.zeros(net.up.mu_kernel.shape),
+                         eps_b=jnp.zeros(net.up.mu_bias.shape))
+            assert out.shape == ref.shape, (pad, k, s, di)
+            np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
+                                       atol=1e-4,
+                                       err_msg=f"{pad} k{k} s{s} d{di}")
 
 
 def test_nnx_convtranspose_valid_padding():
