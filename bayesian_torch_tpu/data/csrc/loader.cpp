@@ -109,8 +109,13 @@ struct Loader {
     }
   }
 
-  void start_epoch(int num_threads) {
+  // epoch_seed makes the permutation a pure function of (seed,
+  // epoch_seed) — required for deterministic --resume: a restarted
+  // process must reproduce epoch k's batch order without having
+  // iterated epochs 0..k-1 (an internal call counter would not)
+  void start_epoch(int num_threads, int64_t epoch_seed) {
     join_workers();
+    epoch = epoch_seed;
     reshuffle();
     num_batches = drop_last ? n / batch_size
                             : (n + batch_size - 1) / batch_size;
@@ -122,7 +127,6 @@ struct Loader {
     }
     for (int t = 0; t < std::max(num_threads, 1); ++t)
       workers.emplace_back([this] { worker(); });
-    ++epoch;
   }
 
   void join_workers() {
@@ -183,8 +187,9 @@ int64_t bt_loader_num_batches(void* handle) {
                       : (l->n + l->batch_size - 1) / l->batch_size;
 }
 
-void bt_loader_start_epoch(void* handle, int num_threads) {
-  static_cast<Loader*>(handle)->start_epoch(num_threads);
+void bt_loader_start_epoch(void* handle, int num_threads,
+                           int64_t epoch_seed) {
+  static_cast<Loader*>(handle)->start_epoch(num_threads, epoch_seed);
 }
 
 // returns the number of examples written, or -1 when the epoch is done

@@ -56,7 +56,8 @@ def _load_lib():
         lib.bt_loader_num_batches.restype = ctypes.c_int64
         lib.bt_loader_num_batches.argtypes = [ctypes.c_void_p]
         lib.bt_loader_start_epoch.argtypes = [ctypes.c_void_p,
-                                              ctypes.c_int]
+                                              ctypes.c_int,
+                                              ctypes.c_int64]
         lib.bt_loader_next.restype = ctypes.c_int64
         lib.bt_loader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                        ctypes.c_void_p]
@@ -122,7 +123,8 @@ class DataLoader:
         if self._lib is None:
             yield from self._numpy_epoch(epoch_seed)
             return
-        self._lib.bt_loader_start_epoch(self._handle, self.num_workers)
+        self._lib.bt_loader_start_epoch(self._handle, self.num_workers,
+                                        int(epoch_seed))
         out_x = np.empty((self.batch_size,) + self.item_shape, np.float32)
         out_y = np.empty((self.batch_size,), np.int32)
         while True:

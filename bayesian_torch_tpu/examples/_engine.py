@@ -109,16 +109,37 @@ def make_writer(log_dir):
 
 def train(model, optimizer, data, *, epochs, batch_size, num_mc=1,
           log_every=50, logits_are_log_probs=False, writer=None,
-          mesh=None):
-    """Generic training loop over (x, y) host arrays."""
+          mesh=None, checkpoint_dir=None, resume=False, eval_fn=None):
+    """Generic training loop over (x, y) host arrays.
+
+    With ``checkpoint_dir``, a full training checkpoint (model +
+    optimizer + epoch + best_acc + RNG counters) is written after every
+    epoch; ``resume=True`` restores it and continues from the next
+    epoch — the reference's --resume contract
+    (main_bayesian_imagenet.py:316-336). ``eval_fn(model, epoch) -> acc``
+    optionally tracks best_acc between epochs.
+    """
+    from bayesian_torch_tpu.utils.checkpoint import (
+        load_training_checkpoint,
+        save_training_checkpoint,
+    )
+
     x_all, y_all = data
     step_fn = make_train_step(num_mc, batch_size, mesh)
+    start_epoch, best_acc = 0, 0.0
+    last_path = (os.path.join(checkpoint_dir, "last")
+                 if checkpoint_dir else None)
+    if resume and last_path and os.path.isdir(last_path):
+        meta = load_training_checkpoint(last_path, model, optimizer)
+        start_epoch, best_acc = meta["epoch"], meta["best_acc"]
+        print(f"resumed from '{last_path}': epoch {start_epoch}, "
+              f"best_acc {best_acc:.4f}")
     # native threaded prefetch loader (bayesian_torch_tpu.data): host
     # batch gather/shuffle overlaps device compute
     from bayesian_torch_tpu.data import DataLoader
     loader = DataLoader(x_all, y_all, batch_size=batch_size)
     history = []
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         losses = AverageMeter("loss")
         t0 = time.time()
         seen = 0
@@ -142,6 +163,12 @@ def train(model, optimizer, data, *, epochs, batch_size, num_mc=1,
             writer.add_scalar("train/imgs_per_sec", seen / dt, epoch)
         history.append({"epoch": epoch, "loss": losses.avg,
                         "imgs_per_sec": seen / dt})
+        if eval_fn is not None:
+            acc = eval_fn(model, epoch)
+            best_acc = max(best_acc, float(acc))
+        if last_path:
+            save_training_checkpoint(last_path, model, optimizer,
+                                     epoch=epoch + 1, best_acc=best_acc)
     return history
 
 

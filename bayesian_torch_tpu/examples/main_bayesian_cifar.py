@@ -38,6 +38,9 @@ def build_parser(desc="Bayesian CIFAR10"):
     p.add_argument("--num_monte_carlo", type=int, default=50)
     p.add_argument("--num_mc", type=int, default=1)
     p.add_argument("--save_dir", type=str, default="./checkpoint/bayesian")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <save_dir>/last (epoch + optimizer "
+                        "+ best_acc, reference main_bayesian_cifar.py:204)")
     p.add_argument("--moped", action="store_true",
                    help="initialize posteriors from a deterministic ckpt")
     p.add_argument("--moped-ckpt", type=str, default=None)
@@ -92,7 +95,8 @@ def run(args, estimator="Reparameterization"):
             wrt=nnx.Param)
         engine.train(model, optimizer, train_data, epochs=args.epochs,
                      batch_size=args.batch_size, num_mc=args.num_mc,
-                     mesh=mesh)
+                     mesh=mesh, checkpoint_dir=args.save_dir,
+                     resume=args.resume)
         model.eval()
         metrics = engine.evaluate(model, test_data,
                                   batch_size=args.test_batch_size,

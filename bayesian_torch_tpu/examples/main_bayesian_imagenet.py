@@ -42,6 +42,9 @@ def build_parser(desc="Bayesian ImageNet"):
     p.add_argument("--num_mc", type=int, default=1)
     p.add_argument("--num-classes", type=int, default=1000)
     p.add_argument("--save_dir", type=str, default="./checkpoint/imagenet")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <save_dir>/last (epoch + optimizer + "
+                        "best_acc, reference main_bayesian_imagenet.py:316)")
     p.add_argument("--moped", action="store_true")
     p.add_argument("--moped-ckpt", type=str, default=None)
     p.add_argument("--delta", type=float, default=0.5)
@@ -108,8 +111,17 @@ def run(args, estimator="Reparameterization"):
         model.train()
         optimizer = nnx.Optimizer(model, optax.sgd(args.lr, 0.9),
                                   wrt=nnx.Param)
+        from bayesian_torch_tpu.utils.checkpoint import (
+            load_training_checkpoint, save_training_checkpoint)
+        last_path = os.path.join(args.save_dir, "last")
+        start_epoch = 0
+        if args.resume and os.path.isdir(last_path):
+            meta = load_training_checkpoint(last_path, model, optimizer)
+            start_epoch = meta["epoch"]
+            print(f"resumed from epoch {start_epoch} "
+                  f"(best_acc {meta['best_acc']:.4f})")
         import time
-        for epoch in range(args.epochs):
+        for epoch in range(start_epoch, args.epochs):
             t0, seen = time.time(), 0
             for i, (xb, yb) in enumerate(batches(*train_data, batch_size,
                                                  seed=epoch)):
@@ -122,6 +134,8 @@ def run(args, estimator="Reparameterization"):
                     print(f"epoch {epoch} step {i}: loss {float(loss):.4f}"
                           f" ce {float(ce):.4f} kl {float(kl):.4f}")
             print(f"epoch {epoch}: {seen / (time.time() - t0):.1f} imgs/s")
+            save_training_checkpoint(last_path, model, optimizer,
+                                     epoch=epoch + 1)
         model.eval()
         metrics = engine.evaluate(model, test_data,
                                   batch_size=batch_size,

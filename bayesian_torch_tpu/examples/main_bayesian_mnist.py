@@ -35,6 +35,9 @@ def build_parser():
     p.add_argument("--num_mc", type=int, default=1,
                    help="MC samples during training")
     p.add_argument("--save_dir", type=str, default="./checkpoint/bayesian")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <save_dir>/last (epoch + optimizer "
+                        "+ best_acc)")
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--synthetic", action="store_true",
                    help="use synthetic data (no-network environments)")
@@ -68,7 +71,8 @@ def main(argv=None):
                                   wrt=nnx.Param)
         engine.train(model, optimizer, train_data, epochs=args.epochs,
                      batch_size=args.batch_size, num_mc=args.num_mc,
-                     writer=writer, mesh=mesh)
+                     writer=writer, mesh=mesh,
+                     checkpoint_dir=args.save_dir, resume=args.resume)
         model.eval()
         metrics = engine.evaluate(model, test_data,
                                   batch_size=args.test_batch_size,

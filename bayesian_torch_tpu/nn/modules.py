@@ -40,6 +40,9 @@ class Linear(nnx.Module):
             rngs = default_rngs()
         self.in_features = in_features
         self.out_features = out_features
+        # like the Bayesian layers: when set (e.g. bf16), the GEMM runs
+        # and emits in that dtype (params stay fp32 master copies)
+        self.compute_dtype = None
         self.weight = nnx.Param(_kaiming_uniform(
             rngs.params(), (out_features, in_features), in_features))
         if bias:
@@ -49,9 +52,13 @@ class Linear(nnx.Module):
             self.bias = None
 
     def __call__(self, x):
-        out = x @ self.weight[...].T
+        w = self.weight[...]
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+            w = w.astype(self.compute_dtype)
+        out = x @ w.T
         if self.bias is not None:
-            out = out + self.bias[...]
+            out = out + self.bias[...].astype(out.dtype)
         return out
 
     def __repr__(self):
@@ -78,6 +85,9 @@ class _ConvNd(nnx.Module):
         self.groups = groups
         self.output_padding = output_padding
         self.data_format = data_format
+        # bf16 conv emission, matching the Bayesian conv layers'
+        # compute_dtype contract (ops/conv.py _accum_dtype)
+        self.compute_dtype = None
 
         if self.transposed:
             shape = (in_channels, out_channels // groups) + kernel_size
@@ -99,11 +109,13 @@ class _ConvNd(nnx.Module):
                 x, self.weight[...], b, stride=self.stride,
                 padding=self.padding, output_padding=self.output_padding,
                 dilation=self.dilation, groups=self.groups,
+                compute_dtype=self.compute_dtype,
                 data_format=self.data_format)
         return conv_ops.conv_nd(
             x, self.weight[...], b, stride=self.stride,
             padding=self.padding, dilation=self.dilation,
-            groups=self.groups, data_format=self.data_format)
+            groups=self.groups, compute_dtype=self.compute_dtype,
+            data_format=self.data_format)
 
     def __repr__(self):
         return (f"{type(self).__name__}({self.in_channels}, "

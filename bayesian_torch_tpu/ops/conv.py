@@ -182,18 +182,83 @@ def sampled_conv(x, key, mu_k, rho_k, mu_b=None, rho_b=None, *,
                        data_format=data_format)
 
 
+# How flipout's mean+perturbation convs are emitted (A/B'd on TPU):
+#
+# - "two":   mean conv + pert conv as separate lax convs (round-2 path).
+#   Under MC-vmap the pert conv (per-draw weights) batches into the fast
+#   grouped form, but the mean conv (shared mu) batch-merges into a flat
+#   (mc*B)-batch conv, which XLA runs at ~29% SoL on v5e vs ~40% for
+#   the grouped form (profiled: the whole flipout step is 96% conv
+#   fusions; the "overhead" vs 2x-reparam is the mean convs' slower
+#   conv ceiling, not elementwise work).
+# - "tile":  same two convs, but the mean conv's weights are made
+#   draw-dependent (mu + 0*delta) so vmap emits it as a grouped conv
+#   too; XLA folds the zero but keeps the grouped structure.
+# - "fused": ONE feature_group_count=2*groups conv over
+#   concat([x, x*s_in], C) with concat([mu, delta], O): computes both
+#   halves in a single bigger MXU op; epilogue adds the halves.
+#
+# Measured (RN50 MC-10 NHWC, v5e): two@bs128 332 ms (385.9 imgs/s);
+# fused@bs128 560 ms (concat + doubled conv temps); tile@bs128 OOMs
+# (17.7G > 15.75G HBM: the combine holds mean+pert halves of the fast
+# form concurrently), tile@bs96 318 ms (302 imgs/s — the fast conv
+# form is ~2.08 ms/img vs two's 2.5, but vmap's bdim normalization
+# adds ~1.15 ms/img of sign/transpose fusions and bs<128 regresses).
+# See doc/PROFILE_r03.md. Default: "two".
+FLIPOUT_CONV_MODE = "two"
+
+
+def _flipout_combined_conv(x, x_pert, mu_k, delta_k, mu_b, pert_bias,
+                           transposed, *, stride, padding,
+                           output_padding, dilation, groups,
+                           compute_dtype, data_format):
+    """One grouped conv computing the mean and perturbation halves.
+
+    lhs = concat([x, x*s_in], channel); rhs = concat([mu, delta]) with
+    feature (or transposed input-channel) groups doubled, so output
+    channels split into [mean | pert]; the epilogue recombines
+    mean + pert*s_out (+ biases) in one fused elementwise pass.
+    """
+    nd = x.ndim - 2
+    ch_axis = (nd + 1) if data_format.endswith("C") else 1
+    z = jnp.concatenate([x, x_pert], axis=ch_axis)
+    if transposed:
+        # (I, O/g, *k): input-channel groups; doubling groups keeps
+        # O/g per group, out channels ordered [mean-groups | pert]
+        w_cat = jnp.concatenate([mu_k, delta_k], axis=0)
+    else:
+        # (O, I/g, *k): output blocks per input group
+        w_cat = jnp.concatenate([mu_k, delta_k], axis=0)
+    y = _apply_conv(z, w_cat, None, transposed, stride=stride,
+                    padding=padding, output_padding=output_padding,
+                    dilation=dilation, groups=2 * groups,
+                    compute_dtype=compute_dtype, data_format=data_format)
+    out_ch = y.shape[ch_axis] // 2
+    mean_half = jax.lax.slice_in_dim(y, 0, out_ch, axis=ch_axis)
+    pert_half = jax.lax.slice_in_dim(y, out_ch, 2 * out_ch, axis=ch_axis)
+    bshape = _bias_shape(nd, data_format)
+    if mu_b is not None:
+        mean_half = mean_half + mu_b.astype(y.dtype).reshape(bshape)
+    if pert_bias is not None:
+        pert_half = pert_half + pert_bias.astype(y.dtype).reshape(bshape)
+    return mean_half, pert_half
+
+
 def flipout_conv(x, key, mu_k, rho_k, mu_b=None, rho_b=None, *,
                  stride=1, padding=0, output_padding=0, dilation=1,
                  groups=1, transposed=False, eps_k=None, eps_b=None,
                  sign_in=None, sign_out=None, compute_dtype=None,
-                 data_format="NCHW"):
+                 data_format="NCHW", mode=None):
     """Flipout conv: mean conv + sign-flipped perturbation conv.
 
     Matches reference conv_flipout.py:370-433: the mean conv carries
-    mu_bias; the perturbation conv carries only sigma_b*eps_b.
+    mu_bias; the perturbation conv carries only sigma_b*eps_b. The
+    emission strategy (``mode`` / FLIPOUT_CONV_MODE) is a pure
+    performance choice — all three produce identical math.
     """
     from bayesian_torch_tpu.ops.sampling import rademacher_fused
 
+    mode = mode or FLIPOUT_CONV_MODE
     k_eps, k_epsb, k_sin, k_sout = jax.random.split(key, 4)
     if compute_dtype is not None:
         # sample and sign-flip in the compute dtype: halves the sampling
@@ -207,12 +272,6 @@ def flipout_conv(x, key, mu_k, rho_k, mu_b=None, rho_b=None, *,
             eps_k = eps_k.astype(compute_dtype)
         if eps_b is not None:
             eps_b = eps_b.astype(compute_dtype)
-
-    mean_out = _apply_conv(x, mu_k, mu_b, transposed, stride=stride,
-                           padding=padding, output_padding=output_padding,
-                           dilation=dilation, groups=groups,
-                           compute_dtype=compute_dtype,
-                           data_format=data_format)
 
     sigma_k = sigma_from_rho(rho_k)
     if eps_k is None:
@@ -228,6 +287,30 @@ def flipout_conv(x, key, mu_k, rho_k, mu_b=None, rho_b=None, *,
 
     if sign_in is None:
         sign_in = rademacher_fused(k_sin, x.shape, x.dtype)
+
+    if mode == "fused":
+        mean_out, pert = _flipout_combined_conv(
+            x, x * sign_in, mu_k, delta_k, mu_b, pert_bias,
+            transposed, stride=stride, padding=padding,
+            output_padding=output_padding, dilation=dilation,
+            groups=groups, compute_dtype=compute_dtype,
+            data_format=data_format)
+        if sign_out is None:
+            sign_out = rademacher_fused(k_sout, mean_out.shape,
+                                        mean_out.dtype)
+        return mean_out + pert * sign_out
+
+    mu_conv = mu_k
+    if mode == "tile":
+        # make the mean conv's rhs draw-dependent so an outer MC-vmap
+        # emits it as a grouped conv (XLA folds the zero, keeps the
+        # grouped structure — measured faster than the flat batch-merge)
+        mu_conv = mu_k + 0.0 * delta_k
+    mean_out = _apply_conv(x, mu_conv, mu_b, transposed, stride=stride,
+                           padding=padding, output_padding=output_padding,
+                           dilation=dilation, groups=groups,
+                           compute_dtype=compute_dtype,
+                           data_format=data_format)
     if sign_out is None:
         sign_out = rademacher_fused(k_sout, mean_out.shape, mean_out.dtype)
 

@@ -28,6 +28,65 @@ def save_checkpoint(model: nnx.Module, path: str) -> None:
         ckptr.save(_abspath(path), nnx.to_pure_dict(state))
 
 
+def save_training_checkpoint(path: str, model: nnx.Module,
+                             optimizer=None, *, epoch: int = 0,
+                             best_acc: float = 0.0) -> None:
+    """Full training checkpoint: model Param+BatchStat, optimizer state,
+    noise-RNG counters, epoch and best accuracy — the reference's
+    --resume payload (main_bayesian_imagenet.py:316-336 restores
+    epoch/best_acc/optimizer, main_bayesian_cifar.py:204-215).
+
+    RNG *counts* are persisted (keys are reconstructed from the seeds
+    the caller builds the model with), so a same-seed resume continues
+    the exact noise-draw sequence.
+    """
+    payload = {
+        "model": nnx.to_pure_dict(
+            nnx.state(model, nnx.Any(nnx.Param, nnx.BatchStat))),
+        "rng_count": nnx.to_pure_dict(nnx.state(model, nnx.RngCount)),
+        "meta": {"epoch": jnp.asarray(epoch, jnp.int32),
+                 "best_acc": jnp.asarray(best_acc, jnp.float32)},
+    }
+    if optimizer is not None:
+        payload["opt"] = nnx.to_pure_dict(nnx.state(optimizer))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(_abspath(path), payload, force=True)
+
+
+def load_training_checkpoint(path: str, model: nnx.Module,
+                             optimizer=None) -> dict:
+    """Restore a ``save_training_checkpoint`` payload in place.
+
+    Returns ``{"epoch": int, "best_acc": float}`` so trainers can
+    continue from the next epoch (reference
+    main_bayesian_imagenet.py:322-330).
+    """
+    target = {
+        "model": nnx.to_pure_dict(
+            nnx.state(model, nnx.Any(nnx.Param, nnx.BatchStat))),
+        "rng_count": nnx.to_pure_dict(nnx.state(model, nnx.RngCount)),
+        "meta": {"epoch": jnp.asarray(0, jnp.int32),
+                 "best_acc": jnp.asarray(0.0, jnp.float32)},
+    }
+    if optimizer is not None:
+        target["opt"] = nnx.to_pure_dict(nnx.state(optimizer))
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(_abspath(path), target=target)
+
+    state = nnx.state(model, nnx.Any(nnx.Param, nnx.BatchStat))
+    nnx.replace_by_pure_dict(state, restored["model"])
+    nnx.update(model, state)
+    rng_state = nnx.state(model, nnx.RngCount)
+    nnx.replace_by_pure_dict(rng_state, restored["rng_count"])
+    nnx.update(model, rng_state)
+    if optimizer is not None:
+        opt_state = nnx.state(optimizer)
+        nnx.replace_by_pure_dict(opt_state, restored["opt"])
+        nnx.update(optimizer, opt_state)
+    return {"epoch": int(restored["meta"]["epoch"]),
+            "best_acc": float(restored["meta"]["best_acc"])}
+
+
 def load_checkpoint(model: nnx.Module, path: str) -> None:
     """Restore Param + BatchStat state saved by ``save_checkpoint``
     into ``model`` in place."""

@@ -1,17 +1,21 @@
-"""Flagship benchmark: Bayesian ResNet-50 MC-inference throughput on TPU.
+"""Flagship benchmark: Bayesian ResNet-50 on TPU — inference + training.
 
-Metric: images/sec/chip through the 10-MC-sample Bayesian ResNet-50
-(vmapped MC axis). vs_baseline: ratio against the "10x deterministic
-forward" cost model from BASELINE.json — a deterministic ResNet-50
-forward on 10 copies of each image, perfectly batched (value 1.0 =
-Bayesian sampling is free; north-star target >= 0.9).
+Headline metric: images/sec/chip through the 10-MC-sample Bayesian
+ResNet-50 (vmapped MC axis). vs_baseline: ratio against the "10x
+deterministic forward" cost model from BASELINE.json — a deterministic
+ResNet-50 forward on 10 copies of each image, perfectly batched, in the
+SAME precision (bf16) and layout (value 1.0 = Bayesian sampling is
+free; north-star target >= 0.9). Round 3 made the deterministic
+denominator honest: nn modules now run bf16 convs like the Bayesian
+path (they silently ran fp32 in rounds 1-2, flattering the ratio).
 
-Both NCHW (torch-parity) and NHWC (TPU-native channels-last) layouts
-are measured; the headline is the faster layout, with the same-layout
-deterministic run as the denominator. The JSON line also reports the
-absolute %-of-bf16-speed-of-light (sol_*) for the flagship and the
-deterministic baseline (VERDICT round-1 item 3: report absolute MFU,
-not just the ratio).
+The ONE JSON line also carries (VERDICT r2 items 1-3):
+- sol_bayes / sol_det: absolute %-of-bf16-speed-of-light;
+- flipout_ips and flipout_vs_2x_reparam: Flipout RN50 MC-10 against
+  the equal-structure bound (reparam step x2 — Flipout runs 2x the
+  conv FLOPs of reparam at the same MC/batch/layout structure);
+- train_*: ELBO train-step metrics (det / MC=1 / MC=4) at the batch
+  size the sweep found best, with %SoL on 3x-forward FLOPs.
 
 Measurement notes (this environment):
 - the tunneled TPU backend does NOT block in jax.block_until_ready, and
@@ -27,7 +31,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 from __future__ import annotations
 
+import functools
 import json
+import sys
 import time
 
 import jax
@@ -38,9 +44,11 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
 from flax import nnx  # noqa: E402
 
 BATCH = 128  # bs sweep (round 2, NHWC): 64->632 ips, 96->597, 128->948
+TRAIN_BATCH = 128  # round-3 sweep: see BASELINE.md training table
 NUM_MC = 10
 IMG = 224
 N1, N2 = 3, 13
@@ -50,6 +58,10 @@ COMPUTE_DTYPE = jnp.bfloat16
 # used for the speed-of-light fraction when XLA cost analysis is
 # unavailable on the tunneled backend.
 RESNET50_FLOPS_PER_IMG = 2 * 4.089e9
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def _set_compute_dtype(model, dtype):
@@ -78,36 +90,48 @@ def _step_time(fn, *args):
     return ts[1]
 
 
+def _build_bayes(kind, data_format):
+    from bayesian_torch_tpu.parallel import mc_forward
+
+    if kind == "flipout":
+        from bayesian_torch_tpu.models.bayesian.resnet_flipout_large \
+            import resnet50
+    else:
+        from bayesian_torch_tpu.models.bayesian.resnet_variational_large \
+            import resnet50
+    # rbg noise keys: the TPU-native PRNG shaves threefry time off the
+    # per-draw weight sampling
+    model = resnet50(rngs=nnx.Rngs(
+        params=jax.random.key(0),
+        noise=jax.random.key(1, impl="rbg")), data_format=data_format)
+    model.eval()
+    _set_compute_dtype(model, COMPUTE_DTYPE)
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def fwd(state, x):
+        model = nnx.merge(graphdef, state)
+        return mc_forward(model, x, NUM_MC, return_kl=False).mean()
+
+    return fwd, state
+
+
+def _shape(data_format, batch):
+    return ((batch, 3, IMG, IMG) if data_format == "NCHW"
+            else (batch, IMG, IMG, 3))
+
+
 def _measure_pair(data_format):
     """(bayes_step_time, det_step_time) for one layout."""
-    from bayesian_torch_tpu.models.bayesian.resnet_variational_large import (
-        resnet50 as bayes_resnet50,
-    )
     from bayesian_torch_tpu.models.deterministic.resnet_large import (
         resnet50 as det_resnet50,
     )
-    from bayesian_torch_tpu.parallel import mc_forward
 
-    shape = ((BATCH, 3, IMG, IMG) if data_format == "NCHW"
-             else (BATCH, IMG, IMG, 3))
-    x = jax.random.normal(jax.random.key(42), shape, jnp.float32)
-
-    # rbg noise keys: the TPU-native PRNG shaves threefry time off the
-    # per-draw weight sampling
-    bayes = bayes_resnet50(rngs=nnx.Rngs(
-        params=jax.random.key(0),
-        noise=jax.random.key(1, impl="rbg")), data_format=data_format)
-    bayes.eval()
-    _set_compute_dtype(bayes, COMPUTE_DTYPE)
-    graphdef, state = nnx.split(bayes)
-
-    @jax.jit
-    def bayes_fwd(state, x):
-        model = nnx.merge(graphdef, state)
-        outs = mc_forward(model, x, NUM_MC, return_kl=False)
-        return outs.mean()
-
-    t_bayes = _step_time(bayes_fwd, state, x)
+    x = jax.random.normal(jax.random.key(42), _shape(data_format, BATCH),
+                          jnp.float32)
+    fwd, state = _build_bayes("bayes", data_format)
+    t_bayes = _step_time(fwd, state, x)
+    _log(f"bayes {data_format}: {t_bayes * 1e3:.2f} ms")
 
     det = det_resnet50(rngs=nnx.Rngs(params=0, noise=1),
                        data_format=data_format)
@@ -120,10 +144,78 @@ def _measure_pair(data_format):
         model = nnx.merge(det_graphdef, state)
         return model(x).mean()
 
-    big_shape = (BATCH * NUM_MC,) + shape[1:]
-    x_big = jax.random.normal(jax.random.key(43), big_shape, jnp.float32)
+    x_big = jax.random.normal(jax.random.key(43),
+                              _shape(data_format, BATCH * NUM_MC),
+                              jnp.float32)
     t_det = _step_time(det_fwd, det_state, x_big)
+    _log(f"det {data_format}: {t_det * 1e3:.2f} ms")
     return t_bayes, t_det
+
+
+def _measure_flipout(data_format):
+    fwd, state = _build_bayes("flipout", data_format)
+    x = jax.random.normal(jax.random.key(42), _shape(data_format, BATCH),
+                          jnp.float32)
+    t = _step_time(fwd, state, x)
+    _log(f"flipout {data_format}: {t * 1e3:.2f} ms")
+    return t
+
+
+def _train_step_time(kind, batch, data_format="NHWC"):
+    """ELBO train-step time (fwd+bwd+update, donated state)."""
+    from bayesian_torch_tpu.parallel import mc_forward
+
+    if kind == "det":
+        from bayesian_torch_tpu.models.deterministic.resnet_large import (
+            resnet50,
+        )
+        model = resnet50(rngs=nnx.Rngs(params=0, noise=1),
+                         data_format=data_format)
+    else:
+        from bayesian_torch_tpu.models.bayesian.resnet_variational_large \
+            import resnet50
+        model = resnet50(rngs=nnx.Rngs(
+            params=jax.random.key(0),
+            noise=jax.random.key(1, impl="rbg")), data_format=data_format)
+    num_mc = {"det": 0, "mc1": 1, "mc4": 4}[kind]
+    model.train()
+    _set_compute_dtype(model, COMPUTE_DTYPE)
+    opt = nnx.Optimizer(model, optax.sgd(0.01, 0.9), wrt=nnx.Param)
+    gd, st = nnx.split((model, opt))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(st, x, y):
+        model, opt = nnx.merge(gd, st)
+
+        def loss_fn(model):
+            if num_mc == 0:
+                out = model(x)
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    out.astype(jnp.float32), y).mean()
+                return ce
+            outs, kl = mc_forward(model, x, num_mc)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                outs.mean(0).astype(jnp.float32), y).mean()
+            return ce + kl / batch
+
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        opt.update(model, grads)
+        _, st = nnx.split((model, opt))
+        return loss, st
+
+    x = jax.random.normal(jax.random.key(7), _shape(data_format, batch),
+                          jnp.float32)
+    y = jax.random.randint(jax.random.key(8), (batch,), 0, 1000)
+
+    box = [st]
+
+    def wrapped():
+        loss, box[0] = step(box[0], x, y)
+        return loss
+
+    t = _step_time(wrapped)
+    _log(f"train {kind} bs{batch}: {t * 1e3:.2f} ms")
+    return t
 
 
 def main():
@@ -140,6 +232,15 @@ def main():
     det10_ips = BATCH / t_det
     flops = BATCH * NUM_MC * RESNET50_FLOPS_PER_IMG
 
+    t_flip = _measure_flipout(layout)
+    flip_ips = BATCH / t_flip
+
+    train = {}
+    for kind in ("det", "mc1", "mc4"):
+        train[kind] = _train_step_time(kind, TRAIN_BATCH)
+    # training SoL: fwd+bwd ~ 3x forward FLOPs per MC draw
+    mc4_flops = 3 * 4 * TRAIN_BATCH * RESNET50_FLOPS_PER_IMG
+
     alt = "NHWC" if layout == "NCHW" else "NCHW"
     print(json.dumps({
         "metric": "bayesian_resnet50_mc10_inference",
@@ -151,6 +252,14 @@ def main():
         "sol_det": round(sol_fraction(flops, t_det), 4),
         f"bayes_ips_{alt.lower()}": round(BATCH / results[alt][0], 2),
         f"det10_ips_{alt.lower()}": round(BATCH / results[alt][1], 2),
+        "flipout_ips": round(flip_ips, 2),
+        "flipout_vs_2x_reparam": round(flip_ips / (bayes_ips / 2), 4),
+        "train_batch": TRAIN_BATCH,
+        "train_det_ms": round(train["det"] * 1e3, 2),
+        "train_mc1_ms": round(train["mc1"] * 1e3, 2),
+        "train_mc4_ms": round(train["mc4"] * 1e3, 2),
+        "train_mc4_ips": round(TRAIN_BATCH / train["mc4"], 1),
+        "train_mc4_sol": round(sol_fraction(mc4_flops, train["mc4"]), 4),
     }))
 
 
