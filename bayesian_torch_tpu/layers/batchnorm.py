@@ -92,6 +92,22 @@ class _BatchNormNdLayer(nnx.Module):
         if x.ndim != self.nd + 2:
             raise ValueError(
                 f"expected {self.nd + 2}D input (got {x.ndim}D input)")
+        # explicit channel-tiled MC axis (parallel.mc structured mode):
+        # channels are S*C with draw s in block s; per-C stats/affine
+        # tile S times. Eval-mode only (running stats are per-C).
+        S = getattr(self, "_mc_structured", None)
+        if S and self.data_format != "NCHW" \
+                and x.shape[-1] == S * self.num_features:
+            if self.training or not self.track_running_stats:
+                raise NotImplementedError(
+                    "structured MC mode is inference-only (BN running "
+                    "stats are per-channel)")
+            return self._scale_shift(
+                x, jnp.tile(self.running_mean[...], S),
+                jnp.tile(self.running_var[...], S),
+                (jnp.tile(self.weight[...], S) if self.affine else None),
+                (jnp.tile(self.bias[...], S) if self.affine else None),
+                (1,) * (x.ndim - 1) + (-1,))
         if self.data_format == "NCHW":
             reduce_axes = (0,) + tuple(range(2, x.ndim))
             shape = (1, -1) + (1,) * (x.ndim - 2)
@@ -132,12 +148,18 @@ class _BatchNormNdLayer(nnx.Module):
             mean = self.running_mean[...]
             var = self.running_var[...]
 
+        return self._scale_shift(
+            x, mean, var,
+            self.weight[...] if self.affine else None,
+            self.bias[...] if self.affine else None, shape)
+
+    def _scale_shift(self, x, mean, var, weight, bias, shape):
         # fused scale+shift form: stats in fp32, one elementwise pass in
         # the activation dtype (bf16 activations stay bf16 end-to-end)
         inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.eps)
-        if self.affine:
-            scale = self.weight[...].astype(jnp.float32) * inv
-            shift = (self.bias[...].astype(jnp.float32)
+        if weight is not None:
+            scale = weight.astype(jnp.float32) * inv
+            shift = (bias.astype(jnp.float32)
                      - mean.astype(jnp.float32) * scale)
         else:
             scale = inv

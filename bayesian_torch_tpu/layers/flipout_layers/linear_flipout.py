@@ -158,6 +158,17 @@ class LinearFlipout(BaseVariationalLayer):
         mu_b = self.mu_bias[...] if self.mu_bias is not None else None
         rho_b = self.rho_bias[...] if self.rho_bias is not None else None
 
+        S = getattr(self, "_mc_structured", None)
+        if S:
+            out = linear_ops.flipout_linear_structured(
+                x, self.rngs.noise(), S,
+                self.mu_weight[...], self.rho_weight[...], mu_b, rho_b,
+                eps_w=eps_w, eps_b=eps_b, sign_in=sign_in,
+                sign_out=sign_out, compute_dtype=self.compute_dtype)
+            if return_kl:
+                return out, (self.kl_loss() if self.compute_kl else 0.0)
+            return out
+
         out = linear_ops.flipout_linear(
             x, self.rngs.noise(),
             self.mu_weight[...], self.rho_weight[...], mu_b, rho_b,

@@ -244,6 +244,93 @@ def _flipout_combined_conv(x, x_pert, mu_k, delta_k, mu_b, pert_bias,
     return mean_half, pert_half
 
 
+def flipout_conv_structured(x, key, num_mc, mu_k, rho_k, mu_b=None,
+                            rho_b=None, *, stride=1, padding=0,
+                            dilation=1, groups=1, compute_dtype=None,
+                            eps_k=None, eps_b=None, sign_in=None,
+                            sign_out=None):
+    """Flipout conv over an EXPLICIT channel-tiled MC axis (no vmap).
+
+    ``x`` is (B, *spatial, S*C) with draw s occupying channel block s
+    (or (B, *spatial, C) at the stem — tiled here). Returns
+    (B, *spatial, S*O). Both the mean conv (mu tiled S times) and the
+    perturbation conv (per-draw delta) run as feature_group_count=S
+    grouped convs — the fast (B, *sp, S, C) form the reparam flagship
+    gets from vmap — and the Rademacher sign tensors are iota-hashed
+    directly in this axis order, so no batching-dim normalization
+    transposes exist anywhere (the ~1.15 ms/img vmap tax measured on
+    the tile mode, doc/PROFILE_r03.md). Math identical to
+    ``flipout_conv`` per draw; channels-last only, groups=1 only.
+    """
+    from bayesian_torch_tpu.ops.sampling import rademacher_fused
+
+    if groups != 1:
+        raise NotImplementedError(
+            "structured flipout conv supports groups=1 only")
+    S = num_mc
+    out_ch = mu_k.shape[0]
+    in_ch = mu_k.shape[1]
+    k_eps, k_epsb, k_sin, k_sout = jax.random.split(key, 4)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        mu_k, rho_k = mu_k.astype(compute_dtype), rho_k.astype(compute_dtype)
+        if mu_b is not None:
+            mu_b = mu_b.astype(compute_dtype)
+            rho_b = rho_b.astype(compute_dtype)
+        if eps_k is not None:
+            eps_k = eps_k.astype(compute_dtype)
+        if eps_b is not None:
+            eps_b = eps_b.astype(compute_dtype)
+
+    stem = x.shape[-1] == in_ch  # shared (un-tiled) input
+    if stem:
+        x_tiled = jnp.tile(x, (1,) * (x.ndim - 1) + (S,))
+    else:
+        assert x.shape[-1] == S * in_ch, (x.shape, S, in_ch)
+        x_tiled = x
+
+    sigma_k = sigma_from_rho(rho_k)
+    if eps_k is None:
+        eps_k = jax.random.normal(k_eps, (S,) + mu_k.shape, mu_k.dtype)
+    delta = (sigma_k * eps_k).reshape((S * out_ch,) + mu_k.shape[1:])
+
+    b_mean = b_pert = None
+    if mu_b is not None:
+        b_mean = jnp.tile(mu_b, S)
+        sigma_b = sigma_from_rho(rho_b)
+        if eps_b is None:
+            eps_b = jax.random.normal(k_epsb, (S,) + mu_b.shape,
+                                      mu_b.dtype)
+        b_pert = (sigma_b * eps_b).reshape(S * out_ch)
+
+    if sign_in is None:
+        sign_in = rademacher_fused(k_sin, x_tiled.shape, x_tiled.dtype)
+
+    df = "N" + "DHW"[3 - (x.ndim - 2):] + "C"
+    if stem:
+        # shared input: the mean conv runs ONCE (O channels) and its
+        # result broadcasts across draws in the combine epilogue —
+        # 1/S the mean-conv FLOPs of the tiled form
+        mean_1 = conv_nd(x, mu_k, mu_b, stride=stride, padding=padding,
+                         dilation=dilation, groups=1,
+                         compute_dtype=compute_dtype, data_format=df)
+        mean_out = jnp.tile(mean_1, (1,) * (mean_1.ndim - 1) + (S,))
+        if b_mean is not None:
+            b_mean = None  # already applied in mean_1
+    else:
+        mu_tiled = jnp.tile(mu_k, (S,) + (1,) * (mu_k.ndim - 1))
+        mean_out = conv_nd(x_tiled, mu_tiled, b_mean, stride=stride,
+                           padding=padding, dilation=dilation, groups=S,
+                           compute_dtype=compute_dtype, data_format=df)
+    pert = conv_nd(x_tiled * sign_in, delta, b_pert, stride=stride,
+                   padding=padding, dilation=dilation, groups=S,
+                   compute_dtype=compute_dtype, data_format=df)
+    if sign_out is None:
+        sign_out = rademacher_fused(k_sout, mean_out.shape,
+                                    mean_out.dtype)
+    return mean_out + pert * sign_out
+
+
 def flipout_conv(x, key, mu_k, rho_k, mu_b=None, rho_b=None, *,
                  stride=1, padding=0, output_padding=0, dilation=1,
                  groups=1, transposed=False, eps_k=None, eps_b=None,

@@ -110,3 +110,63 @@ def flipout_linear(x, key, mu_w, rho_w, mu_b=None, rho_b=None, *,
         sign_out = rademacher_fused(k_sout, mean_out.shape, mean_out.dtype)
     perturbed = _linear(x * sign_in, delta_w, pert_bias, compute_dtype)
     return mean_out + perturbed * sign_out
+
+
+def flipout_linear_structured(x, key, num_mc, mu_w, rho_w, mu_b=None,
+                              rho_b=None, *, eps_w=None, eps_b=None,
+                              sign_in=None, sign_out=None,
+                              compute_dtype=None):
+    """Flipout linear over an EXPLICIT channel-tiled MC axis.
+
+    ``x`` is (B, S*C) with draw s in block s (or (B, C) — tiled).
+    Returns (B, S*O). Mean GEMM shares mu across draws
+    (einsum bsc,oc->bso); the perturbation GEMM is a batched per-draw
+    dot (einsum bsc,soc->bso). Math identical to ``flipout_linear``
+    per draw; see ops/conv.py::flipout_conv_structured for why this
+    exists (no vmap batching-dim transposes).
+    """
+    from bayesian_torch_tpu.ops.sampling import rademacher_fused
+
+    S = num_mc
+    out_f, in_f = mu_w.shape
+    k_eps, k_epsb, k_sin, k_sout = jax.random.split(key, 4)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        mu_w, rho_w = mu_w.astype(compute_dtype), rho_w.astype(compute_dtype)
+        if mu_b is not None:
+            mu_b = mu_b.astype(compute_dtype)
+            rho_b = rho_b.astype(compute_dtype)
+        if eps_w is not None:
+            eps_w = eps_w.astype(compute_dtype)
+        if eps_b is not None:
+            eps_b = eps_b.astype(compute_dtype)
+
+    if x.shape[-1] == in_f:
+        x = jnp.tile(x, (1,) * (x.ndim - 1) + (S,))
+    lead = x.shape[:-1]
+    xs = x.reshape(lead + (S, in_f))
+
+    sigma_w = sigma_from_rho(rho_w)
+    if eps_w is None:
+        eps_w = jax.random.normal(k_eps, (S,) + mu_w.shape, mu_w.dtype)
+    delta = sigma_w * eps_w  # (S, O, C)
+
+    if sign_in is None:
+        sign_in = rademacher_fused(k_sin, xs.shape, xs.dtype)
+
+    preferred = jnp.float32 if compute_dtype is None else compute_dtype
+    mean = jnp.einsum("...sc,oc->...so", xs, mu_w,
+                      preferred_element_type=preferred)
+    pert = jnp.einsum("...sc,soc->...so", xs * sign_in, delta,
+                      preferred_element_type=preferred)
+    if mu_b is not None:
+        mean = mean + mu_b.astype(mean.dtype)
+        sigma_b = sigma_from_rho(rho_b)
+        if eps_b is None:
+            eps_b = jax.random.normal(k_epsb, (S,) + mu_b.shape,
+                                      mu_b.dtype)
+        pert = pert + (sigma_b * eps_b).astype(pert.dtype)
+    if sign_out is None:
+        sign_out = rademacher_fused(k_sout, mean.shape, mean.dtype)
+    out = mean + pert * sign_out
+    return out.reshape(lead + (S * out_f,))

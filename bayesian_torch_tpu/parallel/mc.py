@@ -143,10 +143,38 @@ def _presample_layers(model, num_mc):
     return touched
 
 
+def _mc_forward_structured(model, x, num_mc, return_kl):
+    """Explicit channel-tiled MC axis (no vmap): every layer sees
+    (B, *sp, S*C) with draw s in channel block s. Built for Flipout
+    inference, where vmap's batching-dim normalization forces the
+    per-draw convs into a slow (mc, B, ...) form and adds activation
+    transposes around every sign multiply (doc/PROFILE_r03.md). All
+    convs here are feature_group_count=S grouped convs in the fast
+    (B, *sp, S, C) form, and the sign hashes are generated directly in
+    that order. Inference-only (BN running stats)."""
+    flagged = []
+    try:
+        for _, mod in nnx.iter_modules(model):
+            mod._mc_structured = num_mc
+            flagged.append(mod)
+        out = model(x)
+    finally:
+        for mod in flagged:
+            del mod._mc_structured
+    out, kl = out if isinstance(out, tuple) else (out, 0.0)
+    k = out.shape[-1] // num_mc
+    out = out.reshape(out.shape[:-1] + (num_mc, k))
+    outs = jnp.moveaxis(out, -2, 0)  # (S, B, ..., K)
+    if return_kl:
+        return outs, jnp.asarray(kl)
+    return outs
+
+
 def mc_forward(model: nnx.Module, x, num_mc: int, *,
                mesh: Optional[Mesh] = None, return_kl: bool = True,
                compute_kl: Optional[bool] = None,
-               presample: str = "off", bn_stats: str = "ema"):
+               presample: str = "off", bn_stats: str = "ema",
+               structured: bool = False):
     """Run ``num_mc`` stochastic forwards as one vmapped computation.
 
     Returns ``(outputs, kl)`` with outputs stacked on a leading MC axis
@@ -195,6 +223,14 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
     use_presample = presample == "on"
     presampled = []
     try:
+        if structured and num_mc > 1:
+            result = _mc_forward_structured(model, x, num_mc, return_kl)
+            if mesh is not None:
+                outs = result[0] if return_kl else result
+                outs = jax.lax.with_sharding_constraint(
+                    outs, NamedSharding(mesh, P("mc", "data")))
+                result = (outs, result[1]) if return_kl else outs
+            return result
         if use_presample:
             presampled = _presample_layers(model, num_mc)
         return _mc_forward_inner(model, x, num_mc, mesh, return_kl,
