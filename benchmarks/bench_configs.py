@@ -54,12 +54,30 @@ def bench_mnist():
     from bayesian_torch_tpu.models.bayesian.simple_cnn_variational import (
         SCNN,
     )
-    bs, mc = 10000, 20
+    from bayesian_torch_tpu.parallel import mc_forward
+    bs, mc, chunk = 10000, 20, 1000
     model = SCNN(rngs=make_rngs(0, noise_seed=1))
     model.eval()
     _bf16(model)
-    fwd, state = _mc_eval_fn(model, mc)
+    gd, state = nnx.split(model)
+
+    # the full (20 MC, 10000) batch is ~15 GB of activations — more
+    # than one v5e's HBM. The reference runs this config as a python
+    # MC loop on CPU; the TPU equivalent streams the batch through the
+    # compiled chunk program (async dispatches pipeline on-device).
+    @jax.jit
+    def chunk_fwd(state, xc):
+        m = nnx.merge(gd, state)
+        return mc_forward(m, xc, mc, return_kl=False).mean()
+
     x = jax.random.normal(jax.random.key(2), (bs, 1, 28, 28), jnp.float32)
+    chunks = [x[i:i + chunk] for i in range(0, bs, chunk)]
+
+    def fwd(state, _x):
+        for xc in chunks:
+            r = chunk_fwd(state, xc)
+        return r
+
     t = step_time(fwd, state, x)
     print(json.dumps({
         "metric": "scnn_mnist_eval_mc20_bs10000",
