@@ -241,19 +241,27 @@ class _BaseConvLayer(BaseVariationalLayer):
         if S:
             # explicit channel-tiled MC axis (parallel.mc structured
             # mode): input (B, *sp, S*C) -> output (B, *sp, S*O)
-            if self.estimator != "flipout" or self.transposed \
-                    or not self.data_format.endswith("C"):
+            if self.transposed or not self.data_format.endswith("C"):
                 raise NotImplementedError(
-                    "structured MC mode supports channels-last flipout "
-                    "convs only")
-            out = conv_ops.flipout_conv_structured(
-                input, self.rngs.noise(), S,
-                self.mu_kernel[...], self.rho_kernel[...], mu_b, rho_b,
-                stride=self.stride, padding=self.padding,
-                dilation=self.dilation, groups=self.groups,
-                compute_dtype=self.compute_dtype,
-                eps_k=eps_k, eps_b=eps_b, sign_in=sign_in,
-                sign_out=sign_out)
+                    "structured MC mode supports channels-last "
+                    "non-transposed convs only")
+            if self.estimator == "flipout":
+                out = conv_ops.flipout_conv_structured(
+                    input, self.rngs.noise(), S,
+                    self.mu_kernel[...], self.rho_kernel[...], mu_b,
+                    rho_b, stride=self.stride, padding=self.padding,
+                    dilation=self.dilation, groups=self.groups,
+                    compute_dtype=self.compute_dtype,
+                    eps_k=eps_k, eps_b=eps_b, sign_in=sign_in,
+                    sign_out=sign_out)
+            else:
+                out = conv_ops.sampled_conv_structured(
+                    input, self.rngs.noise(), S,
+                    self.mu_kernel[...], self.rho_kernel[...], mu_b,
+                    rho_b, stride=self.stride, padding=self.padding,
+                    dilation=self.dilation, groups=self.groups,
+                    compute_dtype=self.compute_dtype,
+                    eps_k=eps_k, eps_b=eps_b)
             if return_kl:
                 return out, (self.kl_loss() if self.compute_kl else 0.0)
             return out

@@ -162,10 +162,19 @@ class LinearReparameterization(BaseVariationalLayer):
             mu_b = self.mu_bias[...] if self.mu_bias is not None else None
             rho_b = self.rho_bias[...] if self.rho_bias is not None else None
 
-            out = linear_ops.sampled_linear(
-                input, self.rngs.noise(),
-                self.mu_weight[...], self.rho_weight[...], mu_b, rho_b,
-                eps_w=eps_w, eps_b=eps_b, compute_dtype=self.compute_dtype)
+            S = getattr(self, "_mc_structured", None)
+            if S:
+                out = linear_ops.sampled_linear_structured(
+                    input, self.rngs.noise(), S,
+                    self.mu_weight[...], self.rho_weight[...], mu_b,
+                    rho_b, eps_w=eps_w, eps_b=eps_b,
+                    compute_dtype=self.compute_dtype)
+            else:
+                out = linear_ops.sampled_linear(
+                    input, self.rngs.noise(),
+                    self.mu_weight[...], self.rho_weight[...], mu_b,
+                    rho_b, eps_w=eps_w, eps_b=eps_b,
+                    compute_dtype=self.compute_dtype)
 
         if return_kl:
             return out, (self.kl_loss() if self.compute_kl else 0.0)

@@ -331,6 +331,57 @@ def flipout_conv_structured(x, key, num_mc, mu_k, rho_k, mu_b=None,
     return mean_out + pert * sign_out
 
 
+def sampled_conv_structured(x, key, num_mc, mu_k, rho_k, mu_b=None,
+                            rho_b=None, *, stride=1, padding=0,
+                            dilation=1, groups=1, compute_dtype=None,
+                            eps_k=None, eps_b=None):
+    """Reparameterization conv over an EXPLICIT channel-tiled MC axis.
+
+    Same representation contract as ``flipout_conv_structured``: input
+    (B, *sp, S*C) (or (B, *sp, C) at the stem — where per-draw sampled
+    filters simply stack as S*O output channels with NO input tiling),
+    output (B, *sp, S*O), fg=S grouped conv with per-draw sampled
+    weights W_s = mu + sigma*eps_s. Channels-last, groups=1 only.
+    """
+    if groups != 1:
+        raise NotImplementedError(
+            "structured sampled conv supports groups=1 only")
+    S = num_mc
+    out_ch, in_ch = mu_k.shape[0], mu_k.shape[1]
+    kw, kb = jax.random.split(key)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        mu_k, rho_k = mu_k.astype(compute_dtype), rho_k.astype(compute_dtype)
+        if mu_b is not None:
+            mu_b = mu_b.astype(compute_dtype)
+            rho_b = rho_b.astype(compute_dtype)
+        if eps_k is not None:
+            eps_k = eps_k.astype(compute_dtype)
+        if eps_b is not None:
+            eps_b = eps_b.astype(compute_dtype)
+
+    sigma_k = sigma_from_rho(rho_k)
+    if eps_k is None:
+        eps_k = jax.random.normal(kw, (S,) + mu_k.shape, mu_k.dtype)
+    w = (mu_k + sigma_k * eps_k).reshape((S * out_ch,) + mu_k.shape[1:])
+    b = None
+    if mu_b is not None:
+        sigma_b = sigma_from_rho(rho_b)
+        if eps_b is None:
+            eps_b = jax.random.normal(kb, (S,) + mu_b.shape, mu_b.dtype)
+        b = (mu_b + sigma_b * eps_b).reshape(S * out_ch)
+
+    df = "N" + "DHW"[3 - (x.ndim - 2):] + "C"
+    if x.shape[-1] == in_ch:  # stem: shared input, filters stack on O
+        return conv_nd(x, w, b, stride=stride, padding=padding,
+                       dilation=dilation, groups=1,
+                       compute_dtype=compute_dtype, data_format=df)
+    assert x.shape[-1] == S * in_ch, (x.shape, S, in_ch)
+    return conv_nd(x, w, b, stride=stride, padding=padding,
+                   dilation=dilation, groups=S,
+                   compute_dtype=compute_dtype, data_format=df)
+
+
 def flipout_conv(x, key, mu_k, rho_k, mu_b=None, rho_b=None, *,
                  stride=1, padding=0, output_padding=0, dilation=1,
                  groups=1, transposed=False, eps_k=None, eps_b=None,

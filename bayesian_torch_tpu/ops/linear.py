@@ -170,3 +170,47 @@ def flipout_linear_structured(x, key, num_mc, mu_w, rho_w, mu_b=None,
         sign_out = rademacher_fused(k_sout, mean.shape, mean.dtype)
     out = mean + pert * sign_out
     return out.reshape(lead + (S * out_f,))
+
+
+def sampled_linear_structured(x, key, num_mc, mu_w, rho_w, mu_b=None,
+                              rho_b=None, *, eps_w=None, eps_b=None,
+                              compute_dtype=None):
+    """Reparameterization linear over an EXPLICIT channel-tiled MC axis.
+
+    ``x`` is (B, S*C) with draw s in block s (or (B, C) — tiled).
+    Per-draw sampled W_s feed a batched dot (einsum bsc,soc->bso);
+    returns (B, S*O). See flipout_linear_structured.
+    """
+    S = num_mc
+    out_f, in_f = mu_w.shape
+    kw, kb = jax.random.split(key)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        mu_w, rho_w = mu_w.astype(compute_dtype), rho_w.astype(compute_dtype)
+        if mu_b is not None:
+            mu_b = mu_b.astype(compute_dtype)
+            rho_b = rho_b.astype(compute_dtype)
+        if eps_w is not None:
+            eps_w = eps_w.astype(compute_dtype)
+        if eps_b is not None:
+            eps_b = eps_b.astype(compute_dtype)
+
+    if x.shape[-1] == in_f:
+        x = jnp.tile(x, (1,) * (x.ndim - 1) + (S,))
+    lead = x.shape[:-1]
+    xs = x.reshape(lead + (S, in_f))
+
+    sigma_w = sigma_from_rho(rho_w)
+    if eps_w is None:
+        eps_w = jax.random.normal(kw, (S,) + mu_w.shape, mu_w.dtype)
+    w = mu_w + sigma_w * eps_w  # (S, O, C)
+
+    preferred = jnp.float32 if compute_dtype is None else compute_dtype
+    out = jnp.einsum("...sc,soc->...so", xs, w,
+                     preferred_element_type=preferred)
+    if mu_b is not None:
+        sigma_b = sigma_from_rho(rho_b)
+        if eps_b is None:
+            eps_b = jax.random.normal(kb, (S,) + mu_b.shape, mu_b.dtype)
+        out = out + (mu_b + sigma_b * eps_b).astype(out.dtype)
+    return out.reshape(lead + (S * out_f,))

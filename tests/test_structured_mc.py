@@ -137,3 +137,59 @@ def test_structured_model_statistics():
     se = (outs_s.std(0) + outs_v.std(0)) / np.sqrt(n) + 1e-3
     diff = np.abs(outs_s.mean(0) - outs_v.mean(0))
     assert (diff < 6 * se).all(), (diff / se).max()
+
+
+class _RepNet(nnx.Module):
+    def __init__(self, rngs):
+        from bayesian_torch_tpu.layers import (BatchNorm2dLayer,
+                                               Conv2dReparameterization,
+                                               LinearReparameterization)
+        self.conv = Conv2dReparameterization(3, 8, 3, padding=1,
+                                             data_format="NHWC",
+                                             rngs=rngs)
+        self.bn = BatchNorm2dLayer(8, data_format="NHWC", rngs=rngs)
+        self.fc = LinearReparameterization(8, 5, rngs=rngs)
+
+    def eval(self):
+        for _, mod in nnx.iter_modules(self):
+            if hasattr(mod, "training"):
+                mod.training = False
+
+    def __call__(self, x):
+        out, kl1 = self.conv(x)
+        out = self.bn(nnx.relu(out))
+        out = out.mean(axis=(1, 2))
+        out, kl2 = self.fc(out)
+        return out, kl1 + kl2
+
+
+def test_structured_reparam_sigma0_equals_vmapped():
+    model = _RepNet(make_rngs(0, noise_seed=1))
+    model.eval()
+    rs = np.random.RandomState(3)
+    model.bn.running_mean[...] = jnp.asarray(rs.randn(8), jnp.float32)
+    model.bn.running_var[...] = jnp.asarray(rs.rand(8) + 0.5, jnp.float32)
+    model.conv.rho_kernel[...] = model.conv.rho_kernel[...] * 0 - 25
+    model.conv.rho_bias[...] = model.conv.rho_bias[...] * 0 - 25
+    model.fc.rho_weight[...] = model.fc.rho_weight[...] * 0 - 25
+    model.fc.rho_bias[...] = model.fc.rho_bias[...] * 0 - 25
+    x = jnp.asarray(np.random.RandomState(4).randn(B, 4, 4, 3),
+                    jnp.float32)
+    outs_s = mc_forward(model, x, S, return_kl=False, structured=True)
+    outs_v = mc_forward(model, x, S, return_kl=False)
+    np.testing.assert_allclose(np.asarray(outs_s), np.asarray(outs_v),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_structured_reparam_statistics():
+    model = _RepNet(make_rngs(0, noise_seed=1))
+    model.eval()
+    x = jnp.asarray(np.random.RandomState(5).randn(B, 4, 4, 3),
+                    jnp.float32)
+    n = 256
+    outs_s = np.asarray(mc_forward(model, x, n, return_kl=False,
+                                   structured=True))
+    outs_v = np.asarray(mc_forward(model, x, n, return_kl=False))
+    se = (outs_s.std(0) + outs_v.std(0)) / np.sqrt(n) + 1e-3
+    diff = np.abs(outs_s.mean(0) - outs_v.mean(0))
+    assert (diff < 6 * se).all(), (diff / se).max()
