@@ -213,8 +213,13 @@ class _QuantizedLayerBase(BaseVariationalLayer):
 
     # ---- forward: reparameterization ------------------------------------
 
-    def _forward_reparam(self, input, normal_scale, default_scale,
-                         default_zero_point):
+    def _sampled_qweight_reparam(self, normal_scale):
+        """One quantized weight draw: (w_q int8, w_scale, bias fp32).
+
+        Factored out of the forward so a serving deployment can freeze
+        a draw across steps (quantization.serving.freeze_quantized_draws)
+        — the per-step weight-build is the measured bottleneck of the
+        INT8 path (benchmarks/int8_analysis.py)."""
         kshape = self.quantized_mu_weight.shape
         # NOTE: counter-hash fused normals were tried here and LOST:
         # Box-Muller's log/cos on every weight element costs ~1.4 ms of
@@ -228,17 +233,12 @@ class _QuantizedLayerBase(BaseVariationalLayer):
             s0, z0 = self._qd(0)   # eps
             s1, z1 = self._qd(1)   # sigma*eps
             s2, z2 = self._qd(2)   # weight
-            s3, z3 = self._qd(3)   # input
-            s4, z4 = self._qd(4)   # output
             eps_q = q.quantize_int8(eps, s0)
             w_q = q.qmul(self.quantized_sigma_weight[...], s_sigma,
                          eps_q, s0, s1, z1)
             w_q = q.qadd(w_q, s1, self.quantized_mu_weight[...], s_mu,
                          s2, z2)
-            bias = self._sample_bias()
-            x_q = self._quantize_input(input, s3, z3)
-            out_q = self._apply_int8(x_q, s3, z3, w_q, s2, bias, s4, z4)
-            return self._emit(out_q, s4, z4)
+            return w_q, s2, self._sample_bias()
 
         # uncalibrated default path (reference :202-219)
         eps_q = q.quantize_int8(eps, normal_scale)
@@ -253,10 +253,30 @@ class _QuantizedLayerBase(BaseVariationalLayer):
                      else jnp.maximum(new_scale, s_mu))
         w_q = q.qadd(w_q, new_scale, self.quantized_mu_weight[...], s_mu,
                      add_scale, 0)
-        bias = self._sample_bias()
+        return w_q, add_scale, self._sample_bias()
+
+    def _forward_reparam(self, input, normal_scale, default_scale,
+                         default_zero_point):
+        frozen = getattr(self, "_frozen_w", None)
+        if frozen is not None:
+            w_q = frozen[...]
+            w_scale = self._frozen_wscale[...]
+            bias = self._frozen_bias[...]
+        else:
+            w_q, w_scale, bias = self._sampled_qweight_reparam(
+                normal_scale)
+
+        if self.quant_dict is not None and not self.legacy_ao:
+            s3, z3 = self._qd(3)   # input
+            s4, z4 = self._qd(4)   # output
+            x_q = self._quantize_input(input, s3, z3)
+            out_q = self._apply_int8(x_q, s3, z3, w_q, w_scale, bias,
+                                     s4, z4)
+            return self._emit(out_q, s4, z4)
+
         x_q = self._quantize_input(input, default_scale, default_zero_point)
         out_q = self._apply_int8(x_q, default_scale, default_zero_point,
-                                 w_q, add_scale, bias, default_scale,
+                                 w_q, w_scale, bias, default_scale,
                                  default_zero_point)
         return self._emit(out_q, default_scale, default_zero_point)
 

@@ -10,3 +10,7 @@ from bayesian_torch_tpu.quantization.quantize import (  # noqa: F401
 from bayesian_torch_tpu.quantization.observers import (  # noqa: F401
     MinMaxObserver,
 )
+from bayesian_torch_tpu.quantization.serving import (  # noqa: F401,E402
+    freeze_quantized_draws,
+    unfreeze_quantized_draws,
+)
