@@ -83,13 +83,19 @@ def make_train_step(num_mc: int, batch_size: int, mesh=None):
     return train_step
 
 
-def make_eval_step(num_mc: int, mesh=None):
+def make_eval_step(num_mc: int, mesh=None, structured: bool = False):
     """Jitted MC predictive step -> per-sample class probabilities of
-    shape (num_mc, batch, classes)."""
+    shape (num_mc, batch, classes).
+
+    ``structured=True`` routes through the vmap-free channel-tiled MC
+    path (parallel.mc) — the fast form for Flipout inference
+    (doc/PROFILE_r03.md); falls back automatically if the model's
+    layers don't support it."""
 
     @nnx.jit
     def eval_step(model, x):
-        outs = mc_forward(model, x, num_mc, return_kl=False, mesh=mesh)
+        outs = mc_forward(model, x, num_mc, return_kl=False, mesh=mesh,
+                          structured=structured)
         return jax.nn.softmax(outs, axis=-1)
 
     return eval_step
@@ -173,12 +179,13 @@ def train(model, optimizer, data, *, epochs, batch_size, num_mc=1,
 
 
 def evaluate(model, data, *, batch_size, num_monte_carlo=20,
-             save_probs_to=None, writer=None, epoch=0, mesh=None):
+             save_probs_to=None, writer=None, epoch=0, mesh=None,
+             structured=False):
     """MC-predictive evaluation: accuracy + UQ metrics, optional .npy
     dump of the MC probability stack (reference
     main_bayesian_mnist.py:79-99)."""
     x_all, y_all = data
-    eval_fn = make_eval_step(num_monte_carlo, mesh)
+    eval_fn = make_eval_step(num_monte_carlo, mesh, structured)
     correct = 0
     total = 0
     all_probs = []

@@ -224,13 +224,21 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
     presampled = []
     try:
         if structured and num_mc > 1:
-            result = _mc_forward_structured(model, x, num_mc, return_kl)
-            if mesh is not None:
-                outs = result[0] if return_kl else result
-                outs = jax.lax.with_sharding_constraint(
-                    outs, NamedSharding(mesh, P("mc", "data")))
-                result = (outs, result[1]) if return_kl else outs
-            return result
+            try:
+                result = _mc_forward_structured(model, x, num_mc,
+                                                return_kl)
+            except NotImplementedError:
+                # a layer without structured support (transposed conv,
+                # NCHW, training-mode BN, ...): fall back to the vmapped
+                # path — same math, different emission
+                result = None
+            if result is not None:
+                if mesh is not None:
+                    outs = result[0] if return_kl else result
+                    outs = jax.lax.with_sharding_constraint(
+                        outs, NamedSharding(mesh, P("mc", "data")))
+                    result = (outs, result[1]) if return_kl else outs
+                return result
         if use_presample:
             presampled = _presample_layers(model, num_mc)
         return _mc_forward_inner(model, x, num_mc, mesh, return_kl,
