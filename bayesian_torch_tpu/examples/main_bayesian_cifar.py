@@ -36,6 +36,10 @@ def build_parser(desc="Bayesian CIFAR10"):
     p.add_argument("--mode", type=str, default="train",
                    choices=["train", "test"])
     p.add_argument("--num_monte_carlo", type=int, default=50)
+    p.add_argument("--structured-mc", action="store_true",
+                   help="vmap-free channel-tiled MC eval path "
+                        "(fastest for Flipout inference; falls "
+                        "back per layer)")
     p.add_argument("--num_mc", type=int, default=1)
     p.add_argument("--save_dir", type=str, default="./checkpoint/bayesian")
     p.add_argument("--resume", action="store_true",
@@ -101,6 +105,7 @@ def run(args, estimator="Reparameterization"):
         metrics = engine.evaluate(model, test_data,
                                   batch_size=args.test_batch_size,
                                   num_monte_carlo=args.num_monte_carlo,
+                                  structured=args.structured_mc,
                                   mesh=mesh)
         save_checkpoint(model, ckpt_path)
         engine.save_metrics(metrics, os.path.join(
@@ -111,6 +116,7 @@ def run(args, estimator="Reparameterization"):
         engine.evaluate(
             model, test_data, batch_size=args.test_batch_size,
             num_monte_carlo=args.num_monte_carlo, mesh=mesh,
+            structured=args.structured_mc,
             save_probs_to=os.path.join(args.save_dir,
                                        f"probs_cifar_{tag}_mc.npy"))
 

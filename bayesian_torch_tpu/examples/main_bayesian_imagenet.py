@@ -39,6 +39,10 @@ def build_parser(desc="Bayesian ImageNet"):
     p.add_argument("--mode", type=str, default="train",
                    choices=["train", "test"])
     p.add_argument("--num_monte_carlo", type=int, default=10)
+    p.add_argument("--structured-mc", action="store_true",
+                   help="vmap-free channel-tiled MC eval path "
+                        "(fastest for Flipout inference; falls "
+                        "back per layer)")
     p.add_argument("--num_mc", type=int, default=1)
     p.add_argument("--num-classes", type=int, default=1000)
     p.add_argument("--save_dir", type=str, default="./checkpoint/imagenet")
@@ -139,7 +143,8 @@ def run(args, estimator="Reparameterization"):
         model.eval()
         metrics = engine.evaluate(model, test_data,
                                   batch_size=batch_size,
-                                  num_monte_carlo=args.num_monte_carlo)
+                                  num_monte_carlo=args.num_monte_carlo,
+                        structured=args.structured_mc)
         save_checkpoint(model, ckpt_path)
         engine.save_metrics(metrics, os.path.join(
             args.save_dir, f"imagenet_{tag}_metrics.json"))
@@ -147,7 +152,8 @@ def run(args, estimator="Reparameterization"):
         load_checkpoint(model, ckpt_path)
         model.eval()
         engine.evaluate(model, test_data, batch_size=batch_size,
-                        num_monte_carlo=args.num_monte_carlo)
+                        num_monte_carlo=args.num_monte_carlo,
+                        structured=args.structured_mc)
 
 
 def main(argv=None):
