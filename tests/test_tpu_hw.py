@@ -295,3 +295,56 @@ def test_im2col_qconv_matches_xla_on_hw():
         q.USE_PALLAS_QMATMUL, q.USE_INT8_IM2COL = old
     d = np.abs(np.asarray(ref, np.int32) - np.asarray(got, np.int32)).max()
     assert d <= 1, d
+
+
+def test_structured_flipout_matches_vmapped_on_hw():
+    """Structured (vmap-free) flipout path: sigma->0 draw-for-draw
+    equality vs the vmapped path on the real chip (the CPU suite also
+    checks this, but the structured path is the flagship Flipout
+    mechanism — it must hold under the real Mosaic/XLA toolchain)."""
+    _require_tpu()
+    import numpy as np
+
+    from bayesian_torch_tpu.layers import (
+        BatchNorm2dLayer,
+        Conv2dFlipout,
+        LinearFlipout,
+        make_rngs,
+    )
+    from bayesian_torch_tpu.parallel import mc_forward
+
+    class Net(nnx.Module):
+        def __init__(self, rngs):
+            self.conv = Conv2dFlipout(3, 16, 3, padding=1,
+                                      data_format="NHWC", rngs=rngs)
+            self.bn = BatchNorm2dLayer(16, data_format="NHWC", rngs=rngs)
+            self.fc = LinearFlipout(16, 5, rngs=rngs)
+
+        def __call__(self, x):
+            out, kl1 = self.conv(x)
+            out = self.bn(nnx.relu(out))
+            out = out.mean(axis=(1, 2))
+            out, kl2 = self.fc(out)
+            return out, kl1 + kl2
+
+    model = Net(make_rngs(0, noise_seed=1))
+    for _, mod in nnx.iter_modules(model):
+        if hasattr(mod, "training"):
+            mod.training = False
+    model.conv.rho_kernel[...] = model.conv.rho_kernel[...] * 0 - 25
+    model.conv.rho_bias[...] = model.conv.rho_bias[...] * 0 - 25
+    model.fc.rho_weight[...] = model.fc.rho_weight[...] * 0 - 25
+    model.fc.rho_bias[...] = model.fc.rho_bias[...] * 0 - 25
+    gd, st = nnx.split(model)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run(st, x, structured):
+        return mc_forward(nnx.merge(gd, st), x, 4, return_kl=False,
+                          structured=structured)
+
+    x = jax.random.normal(jax.random.key(5), (8, 16, 16, 3))
+    a = np.asarray(run(st, x, True))
+    b = np.asarray(run(st, x, False))
+    np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
