@@ -139,12 +139,13 @@ class Bottleneck(_Block):
 class LargeResNet(nnx.Module):
     def __init__(self, block_cls, layers, num_classes=1000, *,
                  estimator=None, rngs: Optional[nnx.Rngs] = None,
-                 data_format: str = "NCHW"):
+                 data_format: str = "NCHW", remat_blocks: bool = False):
         if rngs is None:
             rngs = default_rngs()
         conv, linear = _layer_factories(estimator, rngs, data_format)
         self.estimator = estimator
         self.data_format = data_format
+        self.remat_blocks = remat_blocks
         self._rngs_for_init = rngs
 
         self.inplanes = 64
@@ -214,13 +215,38 @@ class LargeResNet(nnx.Module):
             if hasattr(mod, "training"):
                 mod.training = False
 
+    def _block_call(self, block, x):
+        """One residual block, optionally behind a remat boundary.
+
+        ``remat_blocks=True`` checkpoints each block: only block INPUTS
+        are saved for backward and the block recomputes its activations
+        in the backward pass. At large batch x MC products the full
+        activation set oversubscribes HBM and XLA falls back to its own
+        ad-hoc rematerialization, which breaks the BN/ReLU/residual
+        epilogue fusion that makes the inference step 95% conv work
+        (profiled in benchmarks/profile_train.py); a structured
+        per-block boundary keeps live memory at the block inputs and
+        restores the fused forms."""
+        mode = getattr(self, "remat_blocks", False)
+        if not mode:
+            return block(x)
+        policy = None
+        if mode == "conv_out":
+            # save only the convs' results; recompute the cheap BN/ReLU
+            # elementwise chains in backward (conv outputs are tagged
+            # via jax.ad_checkpoint.checkpoint_name in ops/conv.py)
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "conv_out")
+        return nnx.remat(lambda m, h: m(h), policy=policy)(block, x)
+
     def __call__(self, x):
         if self.estimator is None:
             out = F.relu(self.bn1(self.conv1(x)))
             out = self.maxpool(out)
             for layer in (self.layer1, self.layer2, self.layer3,
                           self.layer4):
-                out = layer(out)
+                for block in layer:
+                    out = self._block_call(block, out)
             out = self.avgpool(out)
             out = out.reshape(out.shape[0], -1)
             return self.fc(out)
@@ -232,7 +258,7 @@ class LargeResNet(nnx.Module):
         out = self.maxpool(out)
         for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
             for block in layer:
-                out, kl = block(out)
+                out, kl = self._block_call(block, out)
                 kl_sum += kl
         out = self.avgpool(out)
         out = out.reshape(out.shape[0], -1)

@@ -23,6 +23,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from bayesian_torch_tpu.ops.sampling import sample_gaussian_weight, sigma_from_rho
 
@@ -88,7 +89,12 @@ def conv_nd(x, w, b=None, *, stride=1, padding=0, dilation=1, groups=1,
     )
     if b is not None:
         out = out + b.astype(out.dtype).reshape(_bias_shape(nd, data_format))
-    return out
+    # Names the conv result for remat policies: under
+    # LargeResNet(remat_blocks="conv_out") the block remat saves conv
+    # outputs and recomputes only the elementwise BN/ReLU chains
+    # (jax.checkpoint_policies.save_only_these_names). A no-op outside
+    # a named-policy checkpoint.
+    return checkpoint_name(out, "conv_out")
 
 
 def conv_transpose_nd(x, w, b=None, *, stride=1, padding=0,
@@ -138,7 +144,7 @@ def conv_transpose_nd(x, w, b=None, *, stride=1, padding=0,
     )
     if b is not None:
         out = out + b.astype(out.dtype).reshape(_bias_shape(nd, data_format))
-    return out
+    return checkpoint_name(out, "conv_out")
 
 
 def _apply_conv(x, w, b, transposed, *, stride, padding, output_padding,
