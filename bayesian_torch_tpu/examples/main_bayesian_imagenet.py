@@ -54,12 +54,18 @@ def build_parser(desc="Bayesian ImageNet"):
     p.add_argument("--delta", type=float, default=0.5)
     p.add_argument("--mesh-mc", type=int, default=1,
                    help="mesh slots for the MC axis (rest go to data)")
+    p.add_argument("--remat", action="store_true",
+                   help="checkpoint each residual block (saves only "
+                        "block inputs for backward): ~2x the trainable "
+                        "batch envelope at equal per-image cost, see "
+                        "doc/performance.md")
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--synthetic", action="store_true")
     return p
 
 
-def get_model(arch, seed, num_classes, estimator="Reparameterization"):
+def get_model(arch, seed, num_classes, estimator="Reparameterization",
+              remat=False):
     if estimator == "Flipout":
         from bayesian_torch_tpu.models.bayesian import (
             resnet_flipout_large as zoo)
@@ -67,7 +73,8 @@ def get_model(arch, seed, num_classes, estimator="Reparameterization"):
         from bayesian_torch_tpu.models.bayesian import (
             resnet_variational_large as zoo)
     return getattr(zoo, arch)(num_classes=num_classes,
-                              rngs=make_rngs(seed, noise_seed=seed + 1))
+                              rngs=make_rngs(seed, noise_seed=seed + 1),
+                              remat_blocks=remat)
 
 
 def run(args, estimator="Reparameterization"):
@@ -82,7 +89,8 @@ def run(args, estimator="Reparameterization"):
         mesh = make_mesh(mc=args.mesh_mc)
         print(f"mesh: {dict(mesh.shape)}")
 
-    model = get_model(args.arch, args.seed, args.num_classes, estimator)
+    model = get_model(args.arch, args.seed, args.num_classes, estimator,
+                      remat=getattr(args, "remat", False))
     tag = "flipout" if estimator == "Flipout" else "bayesian"
     ckpt_path = os.path.join(args.save_dir, f"imagenet_{tag}_{args.arch}")
 
