@@ -88,6 +88,11 @@ class _ConvNd(nnx.Module):
         # bf16 conv emission, matching the Bayesian conv layers'
         # compute_dtype contract (ops/conv.py _accum_dtype)
         self.compute_dtype = None
+        # Deterministic (unbatched-weight) pointwise convs run ~9%
+        # faster as channel dots on v5e (ops/conv.py CONV_1X1_DOT
+        # notes). Set False when vmapping weights over this module —
+        # the batched-dot form breaks epilogue fusion.
+        self.pointwise_dot = True
 
         if self.transposed:
             shape = (in_channels, out_channels // groups) + kernel_size
@@ -115,7 +120,8 @@ class _ConvNd(nnx.Module):
             x, self.weight[...], b, stride=self.stride,
             padding=self.padding, dilation=self.dilation,
             groups=self.groups, compute_dtype=self.compute_dtype,
-            data_format=self.data_format)
+            data_format=self.data_format,
+            pointwise_dot=getattr(self, "pointwise_dot", None))
 
     def __repr__(self):
         return (f"{type(self).__name__}({self.in_channels}, "

@@ -60,8 +60,40 @@ def _bias_shape(nd: int, data_format: str) -> Tuple[int, ...]:
     return (1, -1) + (1,) * nd
 
 
+# Emit pointwise (1x1, stride-1, pad-0, groups-1, channels-last) convs
+# as a plain dot over the channel axis instead of conv_general_dilated.
+# Measured (benchmarks/bench_1x1_emission.py + model-level A/B on v5e):
+# for UNBATCHED weights (deterministic models) the dot emission runs the
+# det RN50 flagship ~9% faster than XLA's own 1x1-conv codegen
+# (119.4 -> 109.6 ms at bs=1280 bf16 NHWC). Under the MC vmap it is a
+# LOSS (134.4 -> 161.1 ms full / 138.4 ms selective-shapes): the
+# batched-dot outputs stop fusing with the residual-add/ReLU/BN chains
+# (profiled: ~12 ms add_maximum fusions appear), so the Bayesian paths
+# keep conv emission. Pure emission choice — identical math (both
+# accumulate fp32 on the MXU). ``CONV_1X1_DOT`` is the process default
+# (False); per-call ``pointwise_dot`` overrides it (det nn modules pass
+# True). A set of (in_ch, out_ch) pairs restricts to those shapes.
+CONV_1X1_DOT = False
+
+
+def _is_pointwise(w, stride, pad, dilation, groups, data_format,
+                  pointwise_dot):
+    enable = CONV_1X1_DOT if pointwise_dot is None else pointwise_dot
+    if not enable:
+        return False
+    if isinstance(enable, (set, frozenset)) and \
+            (w.shape[1], w.shape[0]) not in enable:
+        return False
+    return (data_format.endswith("C") and groups == 1
+            and all(k == 1 for k in w.shape[2:])
+            and all(s == 1 for s in stride)
+            and all(d == 1 for d in dilation)
+            and not isinstance(pad, str)
+            and all(p == (0, 0) for p in pad))
+
+
 def conv_nd(x, w, b=None, *, stride=1, padding=0, dilation=1, groups=1,
-            compute_dtype=None, data_format="NCHW"):
+            compute_dtype=None, data_format="NCHW", pointwise_dot=None):
     """torch.nn.functional.conv{1,2,3}d semantics.
 
     ``padding`` may also be 'SAME'/'VALID' (lax strings) for models
@@ -78,6 +110,15 @@ def conv_nd(x, w, b=None, *, stride=1, padding=0, dilation=1, groups=1,
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    if _is_pointwise(w, stride, pad, dilation, groups, data_format,
+                     pointwise_dot):
+        out = jnp.einsum(
+            "...c,oc->...o", x, w.reshape(w.shape[:2]),
+            preferred_element_type=_accum_dtype(x, compute_dtype))
+        if b is not None:
+            out = out + b.astype(out.dtype).reshape(
+                _bias_shape(nd, data_format))
+        return checkpoint_name(out, "conv_out")
     out = jax.lax.conv_general_dilated(
         x, w,
         window_strides=stride,

@@ -183,6 +183,37 @@ def _measure_flipout(data_format):
     return t
 
 
+def _measure_int8(data_format="NHWC"):
+    """INT8 QBNN RN50 MC-1 step time, per-forward redraw and frozen-draw
+    serving mode (driver-visible K4 numbers; see doc/quantization.md)."""
+    from bayesian_torch_tpu.models.bayesian.\
+        quantized_resnet_variational_large import qresnet50
+    from bayesian_torch_tpu.quantization import freeze_quantized_draws
+
+    q = qresnet50(rngs=nnx.Rngs(params=jax.random.key(0),
+                                noise=jax.random.key(1, impl="rbg")),
+                  fuse_conv_bn=True, data_format=data_format)
+    x = jax.random.normal(jax.random.key(7), _shape(data_format, BATCH),
+                          jnp.float32)
+
+    def timed(model):
+        gd, st = nnx.split(model)
+
+        @jax.jit
+        def fwd(st, x):
+            out, _ = nnx.merge(gd, st)(x)
+            return out.mean()
+
+        return _step_time(fwd, st, x)
+
+    t_redraw = timed(q)
+    _log(f"int8 MC-1 bs{BATCH} {data_format}: {t_redraw * 1e3:.2f} ms")
+    freeze_quantized_draws(q)
+    t_frozen = timed(q)
+    _log(f"int8 frozen-draw: {t_frozen * 1e3:.2f} ms")
+    return t_redraw, t_frozen
+
+
 def _train_step_time(kind, batch, data_format="NHWC"):
     """ELBO train-step time (fwd+bwd+update, donated state)."""
     from bayesian_torch_tpu.parallel import mc_forward
@@ -257,6 +288,8 @@ def main():
     t_flip = _measure_flipout(layout)
     flip_ips = BATCH / t_flip
 
+    t_int8, t_int8_frozen = _measure_int8(layout)
+
     train = {}
     for kind in ("det", "mc1", "mc4"):
         train[kind] = _train_step_time(kind, TRAIN_BATCH)
@@ -276,6 +309,8 @@ def main():
         f"det10_ips_{alt.lower()}": round(BATCH / results[alt][1], 2),
         "flipout_ips": round(flip_ips, 2),
         "flipout_vs_2x_reparam": round(flip_ips / (bayes_ips / 2), 4),
+        "int8_mc1_ips": round(BATCH / t_int8, 2),
+        "int8_frozen_ips": round(BATCH / t_int8_frozen, 2),
         "train_batch": TRAIN_BATCH,
         "train_det_ms": round(train["det"] * 1e3, 2),
         "train_mc1_ms": round(train["mc1"] * 1e3, 2),
