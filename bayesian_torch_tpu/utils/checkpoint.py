@@ -22,10 +22,15 @@ def _abspath(path: str) -> str:
 
 
 def save_checkpoint(model: nnx.Module, path: str) -> None:
-    """Save a model's Param + BatchStat state to ``path`` (a directory)."""
+    """Save a model's Param + BatchStat state to ``path`` (a directory).
+
+    Overwrites an existing checkpoint at ``path`` like the reference's
+    ``torch.save`` (main_bayesian_cifar.py:303-313) — re-running a
+    trainer must not crash on its own previous output.
+    """
     state = nnx.state(model, nnx.Any(nnx.Param, nnx.BatchStat))
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(_abspath(path), nnx.to_pure_dict(state))
+        ckptr.save(_abspath(path), nnx.to_pure_dict(state), force=True)
 
 
 def save_training_checkpoint(path: str, model: nnx.Module,

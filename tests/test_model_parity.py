@@ -88,6 +88,13 @@ def test_checkpoint_roundtrip(tmp_path):
     assert float(m1.kl_loss()) == pytest.approx(float(m2.kl_loss()),
                                                 rel=1e-6)
 
+    # re-saving to the same path overwrites (torch.save semantics) —
+    # re-running a trainer must not crash on its own previous output
+    save_checkpoint(m2, str(tmp_path / "ckpt"))
+    load_checkpoint(m1, str(tmp_path / "ckpt"))
+    np.testing.assert_array_equal(np.asarray(m1.mu_weight[...]),
+                                  np.asarray(m2.mu_weight[...]))
+
 
 @pytest.mark.slow
 def test_lstm_timeseries_example(tmp_path):
