@@ -271,6 +271,17 @@ def _train_step_time(kind, batch, data_format="NHWC"):
     return t
 
 
+def _soft(extras, section, fn):
+    """Run one auxiliary bench section; a failure must not cost the
+    headline JSON line the driver records (fields are simply absent and
+    the error is logged to stderr)."""
+    try:
+        extras.update(fn())
+    except Exception as e:  # noqa: BLE001 - driver robustness by design
+        _log(f"bench section '{section}' failed: {type(e).__name__}: {e}")
+        extras[f"{section}_error"] = f"{type(e).__name__}: {e}"[:200]
+
+
 def main():
     from bayesian_torch_tpu.utils.profiling import sol_fraction
 
@@ -285,16 +296,38 @@ def main():
     det10_ips = BATCH / t_det
     flops = BATCH * NUM_MC * RESNET50_FLOPS_PER_IMG
 
-    t_flip = _measure_flipout(layout)
-    flip_ips = BATCH / t_flip
+    extras = {}
 
-    t_int8, t_int8_frozen = _measure_int8(layout)
+    def flipout_section():
+        t_flip = _measure_flipout(layout)
+        return {"flipout_ips": round(BATCH / t_flip, 2),
+                "flipout_vs_2x_reparam": round(
+                    (BATCH / t_flip) / (bayes_ips / 2), 4)}
 
-    train = {}
-    for kind in ("det", "mc1", "mc4"):
-        train[kind] = _train_step_time(kind, TRAIN_BATCH)
-    # training SoL: fwd+bwd ~ 3x forward FLOPs per MC draw
-    mc4_flops = 3 * 4 * TRAIN_BATCH * RESNET50_FLOPS_PER_IMG
+    def int8_section():
+        t_int8, t_int8_frozen = _measure_int8(layout)
+        return {"int8_mc1_ips": round(BATCH / t_int8, 2),
+                "int8_frozen_ips": round(BATCH / t_int8_frozen, 2)}
+
+    def train_section():
+        train = {}
+        for kind in ("det", "mc1", "mc4"):
+            train[kind] = _train_step_time(kind, TRAIN_BATCH)
+        # training SoL: fwd+bwd ~ 3x forward FLOPs per MC draw
+        mc4_flops = 3 * 4 * TRAIN_BATCH * RESNET50_FLOPS_PER_IMG
+        return {
+            "train_batch": TRAIN_BATCH,
+            "train_det_ms": round(train["det"] * 1e3, 2),
+            "train_mc1_ms": round(train["mc1"] * 1e3, 2),
+            "train_mc4_ms": round(train["mc4"] * 1e3, 2),
+            "train_mc4_ips": round(TRAIN_BATCH / train["mc4"], 1),
+            "train_mc4_sol": round(
+                sol_fraction(mc4_flops, train["mc4"]), 4),
+        }
+
+    _soft(extras, "flipout", flipout_section)
+    _soft(extras, "int8", int8_section)
+    _soft(extras, "train", train_section)
 
     alt = "NHWC" if layout == "NCHW" else "NCHW"
     print(json.dumps({
@@ -307,16 +340,7 @@ def main():
         "sol_det": round(sol_fraction(flops, t_det), 4),
         f"bayes_ips_{alt.lower()}": round(BATCH / results[alt][0], 2),
         f"det10_ips_{alt.lower()}": round(BATCH / results[alt][1], 2),
-        "flipout_ips": round(flip_ips, 2),
-        "flipout_vs_2x_reparam": round(flip_ips / (bayes_ips / 2), 4),
-        "int8_mc1_ips": round(BATCH / t_int8, 2),
-        "int8_frozen_ips": round(BATCH / t_int8_frozen, 2),
-        "train_batch": TRAIN_BATCH,
-        "train_det_ms": round(train["det"] * 1e3, 2),
-        "train_mc1_ms": round(train["mc1"] * 1e3, 2),
-        "train_mc4_ms": round(train["mc4"] * 1e3, 2),
-        "train_mc4_ips": round(TRAIN_BATCH / train["mc4"], 1),
-        "train_mc4_sol": round(sol_fraction(mc4_flops, train["mc4"]), 4),
+        **extras,
     }))
 
 
