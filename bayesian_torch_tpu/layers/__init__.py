@@ -6,12 +6,19 @@ from bayesian_torch_tpu.layers.base_variational_layer import (  # noqa: F401
     BaseVariationalLayer,
     get_kernel_size,
 )
+
+# The reference spells the base class with a trailing underscore
+# (bayesian_torch/layers/base_variational_layer.py:35 `class
+# BaseVariationalLayer_`); keep that exact public name working for
+# migrating code that subclasses or isinstance-checks it.
+BaseVariationalLayer_ = BaseVariationalLayer
 from bayesian_torch_tpu.layers.variational_layers import *  # noqa: F401,F403
 from bayesian_torch_tpu.layers.flipout_layers import *  # noqa: F401,F403
 from bayesian_torch_tpu.layers.batchnorm import (  # noqa: F401
     BatchNorm1dLayer,
     BatchNorm2dLayer,
     BatchNorm3dLayer,
+    QuantizedBatchNorm2d,
 )
 from bayesian_torch_tpu.layers.dropout import Dropout  # noqa: F401
 from bayesian_torch_tpu.layers.relu import ReLU  # noqa: F401

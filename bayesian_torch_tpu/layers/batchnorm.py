@@ -189,3 +189,53 @@ class BatchNorm2dLayer(_BatchNormNdLayer):
 
 class BatchNorm3dLayer(_BatchNormNdLayer):
     nd = 3
+
+
+class QuantizedBatchNorm2d(BatchNorm2dLayer):
+    """BatchNorm that keeps the uint8 activation flow quantized.
+
+    Counterpart of the reference's ``qbnn_batchnorm2d_layer`` target
+    (bnn_to_qbnn.py:158-171, swapping in torch.nn.quantized.BatchNorm2d
+    with output ``scale``/``zero_point``). The float base class already
+    *accepts* QTensor input (it dequantizes); this twin additionally
+    RE-quantizes the normalized output to (scale, zero_point) when the
+    input was a QTensor, so BN no longer breaks the uint8 chain between
+    quantized convs. Float input passes through in float, matching the
+    base class.
+
+    Defaults (scale=0.1, zp=128) follow the reference's commented
+    intent at bnn_to_qbnn.py:167-168; BN output is O(1) post-affine, so
+    the ±12.8 representable range is ample. Note the reference's own
+    swap is half-finished (its ``__dict__.update`` clobbers the torch
+    quantized module's scale/zero_point buffers) — these are the
+    completed semantics, opt-in via ``bnn_to_qbnn(...,
+    quantize_batchnorm=True)``.
+    """
+
+    def __init__(self, num_features, eps: float = 1e-5,
+                 momentum=0.1, affine: bool = True,
+                 track_running_stats: bool = True, *,
+                 scale: float = 0.1, zero_point: int = 128,
+                 rngs=None, data_format: str = "NCHW"):
+        super().__init__(num_features, eps, momentum, affine,
+                         track_running_stats, rngs=rngs,
+                         data_format=data_format)
+        self.scale = scale
+        self.zero_point = zero_point
+
+    def _requantize(self, out):
+        from bayesian_torch_tpu.ops.qtensor import QTensor
+        q = jnp.round(out.astype(jnp.float32) * (1.0 / self.scale)
+                      ) + self.zero_point
+        return QTensor(jnp.clip(q, 0, 255).astype(jnp.uint8),
+                       self.scale, self.zero_point)
+
+    def __call__(self, input):
+        from bayesian_torch_tpu.ops.qtensor import QTensor
+        x, was_tuple = (input[0], True) if isinstance(input, tuple) \
+            else (input, False)
+        if isinstance(x, QTensor):
+            out = self._requantize(self._normalize(x.dequantize()))
+        else:
+            out = self._normalize(x)
+        return (out, 0) if was_tuple else out

@@ -11,6 +11,8 @@ conv1/bn1/.../downsample naming conventions (:212-229).
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 from flax import nnx
 
 import bayesian_torch_tpu.layers as bayesian_layers
@@ -18,6 +20,39 @@ from bayesian_torch_tpu.layers.base_variational_layer import (
     BaseVariationalLayer,
 )
 from bayesian_torch_tpu.nn.modules import Identity
+
+
+def get_scale_and_zero_point(x, upper_bound: float = 100,
+                             target_range: int = 255):
+    """Symmetric per-tensor INT8 qparams.
+
+    Counterpart of reference bnn_to_qbnn.py:45-69: scale =
+    2*clamp(max|x|, 0, upper_bound)/target_range, zero_point = 0.
+    Returns python floats when ``x`` is concrete (so the scale is
+    STATIC under jit and every requant multiplier constant-folds),
+    traced scalars otherwise.
+    """
+    xmax = jnp.clip(jnp.max(jnp.abs(x)), 0, upper_bound)
+    scale = xmax * 2.0 / target_range
+    try:
+        return float(scale), 0
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        return scale, 0
+
+
+def get_quantized_tensor(x, default_scale: float = 0.1):
+    """Quantize a float tensor to a symmetric int8 QTensor.
+
+    Counterpart of reference bnn_to_qbnn.py:71-94
+    (torch.quantize_per_tensor to qint8): payload is int8 with
+    zero_point 0; ``default_scale`` replaces a zero computed scale.
+    """
+    from bayesian_torch_tpu.ops.qtensor import QTensor
+    scale, zp = get_scale_and_zero_point(x)
+    if scale == 0:
+        scale = default_scale
+    q = jnp.clip(jnp.round(x * (1.0 / scale)), -128, 127).astype(jnp.int8)
+    return QTensor(q, scale, zp)
 
 
 def _harvest_quant_dict(d):
@@ -96,6 +131,25 @@ def qbnn_lstm_layer(d):
     return d
 
 
+def qbnn_batchnorm2d_layer(d):
+    """BatchNorm2dLayer -> QuantizedBatchNorm2d swap.
+
+    Counterpart of reference bnn_to_qbnn.py:158-171,235 (non-fused
+    path): the quantized twin keeps running stats/affine params and
+    requantizes its output so a QTensor input stays uint8 through BN.
+    """
+    from bayesian_torch_tpu.layers.batchnorm import QuantizedBatchNorm2d
+    q = QuantizedBatchNorm2d(
+        num_features=d.num_features, eps=d.eps, momentum=d.momentum,
+        affine=d.affine, track_running_stats=d.track_running_stats,
+        data_format=d.data_format)
+    for attr in ("weight", "bias", "running_mean", "running_var",
+                 "num_batches_tracked", "training", "stats_frozen"):
+        if getattr(d, attr, None) is not None:
+            setattr(q, attr, getattr(d, attr))
+    return q
+
+
 def batch_norm_folding(conv, bn):
     """Fold a BatchNorm's affine+stats into the quantized conv twin
     (reference bnn_to_qbnn.py:174-195)."""
@@ -129,7 +183,8 @@ def _children(m):
 
 
 def bnn_to_qbnn(m, fuse_conv_bn: bool = False,
-                quantize_activations: bool = False):
+                quantize_activations: bool = False,
+                quantize_batchnorm: bool = False):
     """In-place surgery: Bayesian layers -> Quantized twins.
 
     Mirrors reference bnn_to_qbnn.py:198-237 including the conv+BN
@@ -141,6 +196,13 @@ def bnn_to_qbnn(m, fuse_conv_bn: bool = False,
     ops/qtensor.py) — the torch-equivalent of keeping quantized tensors
     flowing through QuantStubs. Linear layers still emit fp32 so model
     heads return plain arrays.
+
+    ``quantize_batchnorm=True`` additionally swaps BatchNorm layers for
+    ``QuantizedBatchNorm2d`` (reference bnn_to_qbnn.py:235's non-fused
+    path), whose output is requantized uint8. Off by default: the float
+    BN already consumes QTensors, and a fixed BN output scale costs
+    PTQ fidelity; prefer ``fuse_conv_bn=True`` where BN disappears into
+    the conv entirely.
     """
     children = _children(m)
     for name, value in children.items():
@@ -161,7 +223,8 @@ def bnn_to_qbnn(m, fuse_conv_bn: bool = False,
                 setattr(m, name, qbnn_linear_layer(value))
             else:
                 bnn_to_qbnn(value, fuse_conv_bn=fuse_conv_bn,
-                            quantize_activations=quantize_activations)
+                            quantize_activations=quantize_activations,
+                            quantize_batchnorm=quantize_batchnorm)
         elif "Linear" in cls_name and isinstance(value,
                                                  BaseVariationalLayer):
             setattr(m, name, qbnn_linear_layer(value))
@@ -174,6 +237,9 @@ def bnn_to_qbnn(m, fuse_conv_bn: bool = False,
                 ql.q_output = quantize_activations
                 setattr(m, name, ql)
             # fused convs are handled below via naming conventions
+        elif quantize_batchnorm and not fuse_conv_bn \
+                and "Batch" in cls_name:
+            setattr(m, name, qbnn_batchnorm2d_layer(value))
 
     if fuse_conv_bn:
         children = _children(m)

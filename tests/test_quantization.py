@@ -433,3 +433,75 @@ class TestIm2colQConv:
         d = np.abs(np.asarray(ref, np.int32)
                    - np.asarray(got, np.int32)).max()
         assert d <= 1, d
+
+
+class TestQuantizedBatchNorm:
+    """Public-surface parity additions: get_scale_and_zero_point,
+    get_quantized_tensor, qbnn_batchnorm2d_layer / QuantizedBatchNorm2d
+    (reference bnn_to_qbnn.py:45-94,158-171,235)."""
+
+    def test_get_scale_and_zero_point_matches_reference_rule(self):
+        from bayesian_torch_tpu.models.bnn_to_qbnn import \
+            get_scale_and_zero_point
+        x = jnp.asarray(np.random.RandomState(2).randn(7, 5) * 4)
+        scale, zp = get_scale_and_zero_point(x)
+        assert zp == 0
+        assert scale == pytest.approx(
+            float(np.clip(np.abs(np.asarray(x)).max(), 0, 100)) * 2 / 255,
+            rel=1e-6)
+        # static (python float) when input is concrete -> jit-constant
+        assert isinstance(scale, float)
+
+    def test_get_quantized_tensor_roundtrip_and_torch_parity(self):
+        from bayesian_torch_tpu.models.bnn_to_qbnn import \
+            get_quantized_tensor
+        x = np.random.RandomState(3).randn(33).astype(np.float32)
+        qt = get_quantized_tensor(jnp.asarray(x))
+        assert qt.q.dtype == jnp.int8 and qt.zp == 0
+        tq = torch.quantize_per_tensor(
+            torch.from_numpy(x), qt.scale, 0, torch.qint8)
+        np.testing.assert_array_equal(
+            np.asarray(qt.q), tq.int_repr().numpy())
+        np.testing.assert_allclose(
+            np.asarray(qt.dequantize()), x, atol=qt.scale)
+
+    def test_quantized_bn_requantizes_qtensor_input(self):
+        from bayesian_torch_tpu.models.bnn_to_qbnn import \
+            qbnn_batchnorm2d_layer
+        from bayesian_torch_tpu.ops.qtensor import QTensor
+        rng = np.random.RandomState(4)
+        bn = L.BatchNorm2dLayer(6, rngs=nnx.Rngs(params=0))
+        bn.eval()
+        bn.running_mean[...] = jnp.asarray(rng.randn(6) * 0.3)
+        bn.running_var[...] = jnp.asarray(rng.rand(6) + 0.5)
+        qbn = qbnn_batchnorm2d_layer(bn)
+        x = rng.rand(2, 6, 5, 5).astype(np.float32) * 2  # in [0, 2]
+        in_scale, in_zp = 2.0 / 255, 0
+        xq = QTensor(
+            jnp.asarray(np.clip(np.round(x / in_scale), 0, 255
+                                ).astype(np.uint8)), in_scale, in_zp)
+        out = qbn(xq)
+        assert isinstance(out, QTensor)
+        assert (out.scale, out.zp) == (0.1, 128)
+        # numerics: float BN on the dequantized input, within 1 quantum
+        ref = bn(xq.dequantize())
+        np.testing.assert_allclose(np.asarray(out.dequantize()),
+                                   np.asarray(ref), atol=0.1 + 1e-6)
+        # float input passes through unquantized, same as the base BN
+        fout = qbn(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(fout), np.asarray(
+            bn(jnp.asarray(x))), rtol=1e-6)
+
+    def test_bnn_to_qbnn_quantize_batchnorm_flag(self):
+        from bayesian_torch_tpu.models.bnn_to_qbnn import bnn_to_qbnn
+        from bayesian_torch_tpu.models.bayesian.resnet_variational import \
+            resnet20
+        m = resnet20(rngs=nnx.Rngs(params=0, noise=1))
+        m.eval()
+        bnn_to_qbnn(m, quantize_batchnorm=True)
+        assert type(m.bn1).__name__ == "QuantizedBatchNorm2d"
+        x = jnp.asarray(np.random.RandomState(5).rand(2, 3, 32, 32),
+                        jnp.float32)
+        out, kl = m(x)
+        assert out.shape == (2, 10)
+        assert bool(jnp.all(jnp.isfinite(out)))
