@@ -25,22 +25,27 @@ from bayesian_torch_tpu.layers.base_variational_layer import (
 from bayesian_torch_tpu.models.bnn_to_qbnn import bnn_to_qbnn
 
 
-def enable_prepare(m: nnx.Module) -> None:
+def enable_prepare(m: nnx.Module, qconfig=None) -> None:
     """Walk the module graph calling each Bayesian layer's .prepare()
-    (reference ao/quantization/quantize.py:135-151)."""
+    (reference ao/quantization/quantize.py:135-151). ``qconfig`` is an
+    optional observers.QConfig selecting the calibration observers."""
     for _, mod in nnx.iter_modules(m):
         if isinstance(mod, BaseVariationalLayer) and hasattr(mod, "prepare") \
                 and not getattr(mod, "quant_prepare", False):
-            mod.prepare()
+            mod.prepare(qconfig)
 
 
-def prepare(model: nnx.Module) -> nnx.Module:
+def prepare(model: nnx.Module, qconfig=None) -> nnx.Module:
     """Insert calibration observers; returns the (same, mutated) model.
 
     After prepare(), run representative batches through the model to
-    record activation ranges, then call convert().
+    record activation ranges, then call convert(). Pass a
+    ``quantization.QConfig`` (e.g. ``QConfig(activation=
+    HistogramObserver.with_args(dtype='quint8'), weight=
+    MinMaxObserver.with_args(dtype='qint8'))``) to choose observers;
+    default matches the reference's per-tensor MinMax stubs.
     """
-    enable_prepare(model)
+    enable_prepare(model, qconfig)
     return model
 
 

@@ -48,3 +48,12 @@ from bayesian_torch_tpu.layers.base_variational_layer import (  # noqa: F401
     make_rngs,
     seed_default_rngs,
 )
+# The reference's layer files pull the torch observer/QConfig names into
+# bayesian_torch.layers (conv_flipout.py:40-41); mirror that surface so
+# `from bayesian_torch.layers import QConfig`-style imports port 1:1.
+from bayesian_torch_tpu.quantization.observers import (  # noqa: F401
+    HistogramObserver,
+    MinMaxObserver,
+    PerChannelMinMaxObserver,
+    QConfig,
+)

@@ -124,10 +124,19 @@ class BaseVariationalLayer(nnx.Module):
         # (reference linear_variational.py:121-129,180-190).
         self.quant_prepare = False
 
-    def _make_observers(self, n_qint: int, n_quint: int):
+    def _make_observers(self, n_qint: int, n_quint: int, qconfig=None):
+        """Build the calibration observer lists. ``qconfig`` is an
+        optional QConfig whose ``weight`` factory fills the qint slots
+        and ``activation`` factory the quint slots (the reference's
+        QuantStub(QConfig(...)) split, linear_variational.py:123-129);
+        default is per-tensor MinMax like the reference."""
         from bayesian_torch_tpu.quantization.observers import MinMaxObserver
-        self.qint_quant = [MinMaxObserver("qint8") for _ in range(n_qint)]
-        self.quint_quant = [MinMaxObserver("quint8") for _ in range(n_quint)]
+        wfac = qconfig.weight if qconfig is not None \
+            else MinMaxObserver.with_args(dtype="qint8")
+        afac = qconfig.activation if qconfig is not None \
+            else MinMaxObserver.with_args(dtype="quint8")
+        self.qint_quant = [wfac() for _ in range(n_qint)]
+        self.quint_quant = [afac() for _ in range(n_quint)]
         self.quant_prepare = True
 
     def kl_div(self, mu_q, sigma_q, mu_p, sigma_p):

@@ -116,14 +116,14 @@ class _BaseConvLayer(BaseVariationalLayer):
                                   self.prior_bias_sigma[...])
         return kl
 
-    def prepare(self):
+    def prepare(self, qconfig=None):
         """Insert PTQ calibration observers (reparam: 5 qint8 + 2 quint8,
         conv_variational.py prepare; flipout: 4 qint8 + 8 quint8,
         conv_flipout.py prepare)."""
         if self.estimator == "flipout":
-            self._make_observers(4, 8)
+            self._make_observers(4, 8, qconfig)
         else:
-            self._make_observers(5, 2)
+            self._make_observers(5, 2, qconfig)
 
     def _conv_args(self):
         return dict(stride=self.stride, padding=self.padding,

@@ -81,10 +81,10 @@ class LinearFlipout(BaseVariationalLayer):
                                   self.prior_bias_sigma[...])
         return kl
 
-    def prepare(self):
+    def prepare(self, qconfig=None):
         """Insert PTQ calibration observers (reference
         linear_flipout.py:114-120: 4 qint8 + 8 quint8)."""
-        self._make_observers(4, 8)
+        self._make_observers(4, 8, qconfig)
 
     def _observed_forward(self, x):
         """Calibration forward with intermediates observed

@@ -90,10 +90,10 @@ class LinearReparameterization(BaseVariationalLayer):
                                   self.prior_bias_mu[...], self.prior_bias_sigma[...])
         return kl
 
-    def prepare(self):
+    def prepare(self, qconfig=None):
         """Insert PTQ calibration observers (reference
         linear_variational.py:123-129: 5 qint8 + 2 quint8 stubs)."""
-        self._make_observers(5, 2)
+        self._make_observers(5, 2, qconfig)
 
     def _observed_forward(self, input):
         """Calibration forward: explicit sampling math with every

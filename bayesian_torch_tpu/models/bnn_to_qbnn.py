@@ -70,6 +70,14 @@ def _harvest_quant_dict(d):
     qd = []
     for ob in obs:
         scale, zp = ob.calculate_qparams()
+        if getattr(scale, "ndim", 0) > 0:
+            raise ValueError(
+                "quant_dict harvest is per-tensor (matching the "
+                "reference's MinMax QuantStubs, bnn_to_qbnn.py:105-111) "
+                f"but {type(ob).__name__} produced per-channel qparams; "
+                "use MinMaxObserver/HistogramObserver in the QConfig "
+                "passed to prepare(), or consume PerChannelMinMaxObserver "
+                "qparams directly outside the quant_dict path.")
         qd.append({"scale": scale, "zero_point": zp})
     return qd
 

@@ -8,7 +8,10 @@ from bayesian_torch_tpu.quantization.quantize import (  # noqa: F401
     prepare,
 )
 from bayesian_torch_tpu.quantization.observers import (  # noqa: F401
+    HistogramObserver,
     MinMaxObserver,
+    PerChannelMinMaxObserver,
+    QConfig,
 )
 from bayesian_torch_tpu.quantization.serving import (  # noqa: F401,E402
     freeze_quantized_draws,
