@@ -127,9 +127,29 @@ class BaseVariationalLayer(nnx.Module):
     def _make_observers(self, n_qint: int, n_quint: int, qconfig=None):
         """Build the calibration observer lists. ``qconfig`` is an
         optional QConfig whose ``weight`` factory fills the qint slots
-        and ``activation`` factory the quint slots (the reference's
-        QuantStub(QConfig(...)) split, linear_variational.py:123-129);
-        default is per-tensor MinMax like the reference."""
+        and ``activation`` factory the quint slots; default is
+        per-tensor MinMax like the reference.
+
+        SLOT-MAPPING DIVERGENCE from torch (deliberate, documented): in
+        torch, every QuantStub runs its qconfig's *activation* observer
+        — the reference's qint stubs are QuantStub(QConfig(activation=
+        MinMax(qint8))) (linear_variational.py:123-129), i.e. torch's
+        "activation" field is overloaded to configure weight-range
+        stubs too. Here the qint slots (which observe *weight-derived*
+        tensors: sampled W, sigma, eps) are filled from
+        ``qconfig.weight`` and the quint slots (true activations) from
+        ``qconfig.activation``, so the two factories mean what their
+        names say. A reference QConfig ported verbatim therefore lands
+        its observers in different slots than torch would — pass
+        ``QConfig(weight=<qint8 factory>, activation=<quint8 factory>)``
+        and the harvest order is identical.
+
+        Each constructed observer's dtype is validated against its slot
+        class (qint slots need qint8/symmetric qparams, quint slots
+        quint8/affine — the quantized kernels consume quant_dict
+        positionally with fixed dtype assumptions), so a swapped
+        QConfig fails loudly instead of silently mis-quantizing.
+        """
         from bayesian_torch_tpu.quantization.observers import MinMaxObserver
         wfac = qconfig.weight if qconfig is not None \
             else MinMaxObserver.with_args(dtype="qint8")
@@ -137,6 +157,18 @@ class BaseVariationalLayer(nnx.Module):
             else MinMaxObserver.with_args(dtype="quint8")
         self.qint_quant = [wfac() for _ in range(n_qint)]
         self.quint_quant = [afac() for _ in range(n_quint)]
+        for slot, want, which in ((self.qint_quant, "qint8", "weight"),
+                                  (self.quint_quant, "quint8",
+                                   "activation")):
+            for ob in slot:
+                got = getattr(ob, "dtype", None)
+                if got != want:
+                    raise ValueError(
+                        f"QConfig.{which} built a {type(ob).__name__} with "
+                        f"dtype={got!r}, but the {want} quant_dict slots "
+                        f"require dtype={want!r} (the quantized kernels "
+                        f"assume {'symmetric' if want == 'qint8' else 'affine'}"
+                        " qparams in these positions)")
         self.quant_prepare = True
 
     def kl_div(self, mu_q, sigma_q, mu_p, sigma_p):

@@ -72,20 +72,35 @@ class TestPerChannelMinMax:
 
 
 class TestHistogramObserver:
-    def test_outliers_clipped_below_minmax(self):
+    """The observer is torch HistogramObserver's L2 search ported 1:1;
+    the contract tested here is *torch parity*, not aggressive outlier
+    clipping — torch's own observer keeps rare far outliers in range
+    (clipping a 0.1% spike at 100σ costs more L2 than the whole
+    dataset's rounding noise; verified against the torch oracle)."""
+
+    @staticmethod
+    def _torch_qparams(data_chunks, dtype, qscheme=None):
+        kw = {} if qscheme is None else {"qscheme": qscheme}
+        ref = torch.ao.quantization.HistogramObserver(dtype=dtype, **kw)
+        for c in data_chunks:
+            ref(torch.from_numpy(c))
+        s, zp = ref.calculate_qparams()
+        return float(s), float(zp)
+
+    def test_far_outliers_torch_parity(self):
         rng = np.random.RandomState(2)
         data = rng.randn(20000).astype(np.float32)
         data[:20] = 100.0  # 0.1% far outliers
         hob = HistogramObserver(dtype="quint8")
-        mob = MinMaxObserver(dtype="quint8")
         # two chunks so the running-range remap path is exercised
         for chunk in (data[:5000], data[5000:]):
             hob(jnp.asarray(chunk))
-            mob(jnp.asarray(chunk))
         hs, hzp = hob.calculate_qparams()
-        ms, mzp = mob.calculate_qparams()
-        assert hs < 0.5 * ms  # the outliers must not set the scale
-        assert _quant_mse(data, hs, hzp) < _quant_mse(data, ms, mzp)
+        ts, tzp = self._torch_qparams([data[:5000], data[5000:]],
+                                      torch.quint8)
+        # torch does NOT clip this spike (L2 objective); neither do we
+        assert abs(hs - ts) / ts < 0.02
+        assert abs(hzp - tzp) <= 2
 
     def test_clean_data_close_to_minmax(self):
         data = np.random.RandomState(3).uniform(
@@ -97,19 +112,39 @@ class TestHistogramObserver:
         hs, _ = hob.calculate_qparams()
         ms, _ = mob.calculate_qparams()
         assert abs(hs - ms) / ms < 0.15  # no outliers -> no real clipping
+        ts, _ = self._torch_qparams([data], torch.quint8)
+        assert abs(hs - ts) / ts < 0.02
 
-    def test_qint8_symmetric_outliers(self):
+    def test_qint8_symmetric_torch_parity(self):
         rng = np.random.RandomState(4)
         data = rng.randn(20000).astype(np.float32)
         data[:10] = -80.0
         hob = HistogramObserver(dtype="qint8")
-        mob = MinMaxObserver(dtype="qint8")
+        hob(jnp.asarray(data))
+        hs, hzp = hob.calculate_qparams()
+        assert hzp == 0.0
+        ts, _ = self._torch_qparams([data], torch.qint8,
+                                    torch.per_tensor_symmetric)
+        assert abs(hs - ts) / ts < 0.02
+
+    def test_heavy_tails_narrow_below_minmax(self):
+        """Where the L2 trade does favor clipping (heavy tails), the
+        search must actually narrow — and by the same amount torch
+        narrows. This is the test that the search functions at all
+        (a MinMax impostor fails the strict inequality)."""
+        data = np.random.RandomState(7).laplace(
+            0, 1, 20000).astype(np.float32)
+        hob = HistogramObserver(dtype="quint8")
+        mob = MinMaxObserver(dtype="quint8")
         hob(jnp.asarray(data))
         mob(jnp.asarray(data))
         hs, hzp = hob.calculate_qparams()
-        ms, _ = mob.calculate_qparams()
-        assert hzp == 0.0
-        assert hs < 0.5 * ms
+        ms, mzp = mob.calculate_qparams()
+        assert hs < 0.995 * ms  # strictly narrower than the extrema
+        ts, _ = self._torch_qparams([data], torch.quint8)
+        assert abs(hs - ts) / ts < 0.02
+        # narrowing must not hurt the end metric
+        assert _quant_mse(data, hs, hzp) <= _quant_mse(data, ms, mzp) * 1.01
 
     def test_mass_conserved_across_range_growth(self):
         rng = np.random.RandomState(5)
@@ -189,6 +224,17 @@ class TestQConfig:
         assert type(net.fc).__name__ == "QuantizedLinearReparameterization"
         q_out, _ = net(x)
         assert q_out.shape == f_out.shape
+
+    def test_swapped_dtype_qconfig_raises(self):
+        """A weight factory yielding quint8 (or activation yielding
+        qint8) would put affine qparams into slots the quantized
+        kernels consume positionally as symmetric — prepare() must
+        fail loudly instead of silently mis-quantizing."""
+        net = _Net()
+        qc = QConfig(activation=MinMaxObserver.with_args(dtype="qint8"),
+                     weight=MinMaxObserver.with_args(dtype="quint8"))
+        with pytest.raises(ValueError, match="dtype"):
+            prepare(net, qc)
 
     def test_per_channel_harvest_raises(self):
         net = _Net()
