@@ -107,12 +107,12 @@ class PerChannelMinMaxObserver(_ObserverBase):
 
     def __call__(self, x):
         axes = tuple(i for i in range(x.ndim) if i != self.ch_axis % x.ndim)
-        # .value (not [...]) — the first observation grows the scalar
-        # ±inf seed to per-channel shape (C,)
-        self.min_val.value = jnp.minimum(self.min_val[...],
-                                         jnp.min(x, axis=axes))
-        self.max_val.value = jnp.maximum(self.max_val[...],
-                                         jnp.max(x, axis=axes))
+        # set_value (not [...]) — the first observation grows the
+        # scalar ±inf seed to per-channel shape (C,)
+        self.min_val.set_value(jnp.minimum(self.min_val[...],
+                                           jnp.min(x, axis=axes)))
+        self.max_val.set_value(jnp.maximum(self.max_val[...],
+                                           jnp.max(x, axis=axes)))
         return x
 
     @property

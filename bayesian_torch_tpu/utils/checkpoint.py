@@ -172,12 +172,12 @@ def import_torch_state_dict(model: nnx.Module, state_dict, *,
     for key in sorted(set(entries) & set(by_torch_key)):
         _, var = by_torch_key[key]
         val = entries[key]
-        cur = var.value
+        cur = var[...]
         if tuple(val.shape) != tuple(cur.shape):
             errors.append(f"{key}: shape {tuple(val.shape)} vs model "
                           f"{tuple(cur.shape)}")
             continue
-        var.value = jnp.asarray(val, dtype=cur.dtype)
+        var.set_value(jnp.asarray(val, dtype=cur.dtype))
     nnx.update(model, state)
 
     if strict and (missing or unexpected or errors):

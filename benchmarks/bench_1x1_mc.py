@@ -100,8 +100,8 @@ def pallas_mc_gemm(x, w, bm, bo, bk):
 
 def main():
     peak = 197.0  # v5e bf16 TFLOP/s
-    print(f"{'site':>22} {'vmap5d':>9} {'grouped':>9} {'dot':>9} "
-          f"{'pallas':>9}  (ms; sol in parens)")
+    print(f"{'site':>22} {'flat':>9} {'flatdot':>9} {'vmap5d':>9} "
+          f"{'grouped':>9} {'dot':>9} {'pallas':>9}  (ms; sol in parens)")
     totals = {"vmap5d": 0.0, "grouped": 0.0, "dot": 0.0, "pallas": 0.0}
     tot_flops = 0.0
     for (ci, co, sp, count) in SITES:
@@ -148,7 +148,29 @@ def main():
             wr = w.reshape(S, ci, co)
             return pallas_mc_gemm(xr, wr, 512, 256, 512).sum()
 
+        # the flat det forms the 10x-det bound runs at the same site
+        xf = jax.random.normal(jax.random.key(2),
+                               (BATCH * S, sp, sp, ci), jnp.bfloat16)
+        wf = jax.random.normal(jax.random.key(3), (1, 1, ci, co),
+                               jnp.bfloat16)
+
+        @jax.jit
+        def f_flat(xf, wf):
+            return jax.lax.conv_general_dilated(
+                xf, wf, (1, 1), "VALID", dimension_numbers=DN,
+                preferred_element_type=jnp.bfloat16).sum()
+
+        @jax.jit
+        def f_flatdot(xf, wf):
+            return jnp.einsum("bhwc,co->bhwo", xf, wf[0, 0],
+                              preferred_element_type=jnp.bfloat16).sum()
+
         row = {}
+        for name, f in (("flat", f_flat), ("flatdot", f_flatdot)):
+            t = step_time(f, xf, wf)
+            row[name] = t
+            totals.setdefault(name, 0.0)
+            totals[name] += t * count
         for name, f in (("vmap5d", f_vmap), ("grouped", f_grouped),
                         ("dot", f_dot), ("pallas", f_pallas)):
             try:
@@ -161,7 +183,8 @@ def main():
         tot_flops += flops * count
         print(f"{ci:>5}->{co:<5}@{sp:<3} x{count:<2}"
               + "".join(f" {row[n] * 1e3:7.3f}({flops / row[n] / 1e12 / peak:.2f})"
-                        for n in ("vmap5d", "grouped", "dot", "pallas")))
+                        for n in ("flat", "flatdot", "vmap5d", "grouped",
+                                  "dot", "pallas")))
     summary = {"metric": "rn50_1x1_mc_totals_ms"}
     for n, t in totals.items():
         summary[n] = round(t * 1e3, 2)
