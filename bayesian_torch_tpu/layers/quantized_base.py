@@ -261,7 +261,8 @@ class _QuantizedLayerBase(BaseVariationalLayer):
         if frozen is not None:
             w_q = frozen[...]
             w_scale = self._frozen_wscale[...]
-            bias = self._frozen_bias[...]
+            bias = self._frozen_bias[...] \
+                if self._frozen_bias is not None else None
         else:
             w_q, w_scale, bias = self._sampled_qweight_reparam(
                 normal_scale)
@@ -282,18 +283,52 @@ class _QuantizedLayerBase(BaseVariationalLayer):
 
     # ---- forward: flipout ------------------------------------------------
 
-    def _forward_flipout(self, x, normal_scale, default_scale,
-                         default_zero_point):
+    def _sampled_qdelta_flipout(self, normal_scale):
+        """One quantized perturbation draw: (delta_q int8, delta_scale,
+        pert_bias fp32 | None).
+
+        Factored out of the forward so serving can freeze the
+        delta-kernel draw across steps (the Rademacher signs stay
+        per-call — that is flipout's semantics); mirrors
+        ``_sampled_qweight_reparam``."""
         kshape = self.quantized_mu_weight.shape
         eps = jax.random.normal(self.rngs.noise(), kshape)
+        s_sigma, _ = self._weight_scales()
+        pert_bias = None
+        if self.quantized_sigma_bias is not None:
+            eps_b = jax.random.normal(self.rngs.noise(),
+                                      self.quantized_sigma_bias.shape)
+            pert_bias = self.quantized_sigma_bias[...] * eps_b
+        if self.quant_dict is not None and not self.legacy_ao:
+            s0, _ = self._qd(0)
+            s1, z1 = self._qd(1)
+            eps_q = q.quantize_int8(eps, s0)
+            delta_q = q.qmul(self.quantized_sigma_weight[...], s_sigma,
+                             eps_q, s0, s1, z1)
+            return delta_q, s1, pert_bias
+        eps_q = q.quantize_int8(eps, normal_scale)
+        new_scale = s_sigma * normal_scale
+        delta_q = q.qmul(self.quantized_sigma_weight[...], s_sigma, eps_q,
+                         normal_scale, new_scale, 0)
+        return delta_q, new_scale, pert_bias
+
+    def _delta_flipout(self, normal_scale):
+        """Frozen draw when serving pinned one, else a fresh draw."""
+        frozen = getattr(self, "_frozen_w", None)
+        if frozen is not None:
+            bias = self._frozen_bias[...] \
+                if self._frozen_bias is not None else None
+            return frozen[...], self._frozen_wscale[...], bias
+        return self._sampled_qdelta_flipout(normal_scale)
+
+    def _forward_flipout(self, x, normal_scale, default_scale,
+                         default_zero_point):
         s_sigma, s_mu = self._weight_scales()
 
         if self.quant_dict is not None and not self.legacy_ao:
             # quant_dict: [eps, delta, x, outputs, sign_in, sign_out,
             #              x_tmp, pert_tmp, perturbed, out]
             # (reference quantized_linear_flipout.py:180-227)
-            s0, z0 = self._qd(0)
-            s1, z1 = self._qd(1)
             s2, z2 = self._qd(2)
             s3, z3 = self._qd(3)
             s4, z4 = self._qd(4)
@@ -303,14 +338,7 @@ class _QuantizedLayerBase(BaseVariationalLayer):
             s8, z8 = self._qd(8)
             s9, z9 = self._qd(9)
 
-            eps_q = q.quantize_int8(eps, s0)
-            delta_q = q.qmul(self.quantized_sigma_weight[...], s_sigma,
-                             eps_q, s0, s1, z1)
-            pert_bias = None
-            if self.quantized_sigma_bias is not None:
-                eps_b = jax.random.normal(self.rngs.noise(),
-                                          self.quantized_sigma_bias.shape)
-                pert_bias = self.quantized_sigma_bias[...] * eps_b
+            delta_q, s1, pert_bias = self._delta_flipout(normal_scale)
             mean_bias = (self.quantized_mu_bias[...]
                          if self.quantized_mu_bias is not None else None)
 
@@ -342,15 +370,7 @@ class _QuantizedLayerBase(BaseVariationalLayer):
         outputs_q = self._apply_int8(x_q, ds, dz,
                                      self.quantized_mu_weight[...], s_mu,
                                      mean_bias, ds, dz)
-        eps_q = q.quantize_int8(eps, normal_scale)
-        new_scale = s_sigma * normal_scale
-        delta_q = q.qmul(self.quantized_sigma_weight[...], s_sigma, eps_q,
-                         normal_scale, new_scale, 0)
-        pert_bias = None
-        if self.quantized_sigma_bias is not None:
-            eps_b = jax.random.normal(self.rngs.noise(),
-                                      self.quantized_sigma_bias.shape)
-            pert_bias = self.quantized_sigma_bias[...] * eps_b
+        delta_q, new_scale, pert_bias = self._delta_flipout(normal_scale)
         from bayesian_torch_tpu.ops.sampling import rademacher_fused
         k_si, k_so = jax.random.split(self.rngs.noise())
         sign_in = rademacher_fused(k_si, x.shape, jnp.float32)

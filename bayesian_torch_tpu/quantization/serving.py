@@ -11,8 +11,14 @@ once and reuses the drawn int8 weights until ``unfreeze`` (or the next
 ``freeze``) — e.g. redraw every K requests to retain MC diversity
 across batches while amortizing the build.
 
+Flipout layers freeze their DELTA-kernel draw (sigma*eps) the same
+way; the Rademacher sign flips stay per-call — that is flipout's
+decorrelation semantic, and the signs are activation-shaped (cheap)
+while the delta build is weight-shaped (the cost being amortized).
+
 This is an explicit opt-in DEVIATION from reference per-forward-redraw
-semantics (frozen draws make repeated calls deterministic).
+semantics (frozen draws make repeated reparam calls deterministic;
+frozen flipout calls still vary through the signs).
 """
 
 from __future__ import annotations
@@ -30,19 +36,21 @@ _ATTRS = ("_frozen_w", "_frozen_wscale", "_frozen_bias")
 
 def freeze_quantized_draws(model: nnx.Module, *,
                            normal_scale: float = 6 / 255) -> int:
-    """Draw and pin one quantized weight sample per (reparam) quantized
-    layer. Returns the number of layers frozen. Flipout layers are
-    skipped (their perturbation is activation-shaped and per-call)."""
+    """Draw and pin one quantized weight sample per quantized layer.
+    Returns the number of layers frozen. Reparam layers pin the full
+    sampled weight; flipout layers pin the delta kernel (signs stay
+    per-call)."""
     n = 0
     for _, mod in nnx.iter_modules(model):
         if not isinstance(mod, _QuantizedLayerBase):
             continue
         if mod.estimator == "flipout":
-            continue
-        w_q, w_scale, bias = mod._sampled_qweight_reparam(normal_scale)
+            w_q, w_scale, bias = mod._sampled_qdelta_flipout(normal_scale)
+        else:
+            w_q, w_scale, bias = mod._sampled_qweight_reparam(normal_scale)
         mod._frozen_w = Presampled(w_q)
         mod._frozen_wscale = Presampled(jnp.asarray(w_scale))
-        mod._frozen_bias = Presampled(bias)
+        mod._frozen_bias = Presampled(bias) if bias is not None else None
         n += 1
     return n
 
