@@ -89,3 +89,88 @@ def test_numpy_fallback_equivalence():
     for (nx, ny), (fx, fy) in zip(native, fallback):
         np.testing.assert_allclose(nx, fx)
         np.testing.assert_array_equal(ny, fy)
+
+
+class TestNpzBranch:
+    """The real-data ingestion contract of examples/_data.py (the
+    branch the synthetic-only tests never touched): a torchvision-dtype
+    npz (uint8 pixel arrays in the raw dataset layout) must come out
+    float32, NCHW, reference-normalized, with int32 labels."""
+
+    def _write_mnist(self, tmp_path):
+        import numpy as np
+
+        rs = np.random.RandomState(0)
+        x_tr = rs.randint(0, 256, (64, 28, 28), dtype=np.uint8)
+        y_tr = rs.randint(0, 10, 64).astype(np.int64)
+        x_te = rs.randint(0, 256, (32, 28, 28), dtype=np.uint8)
+        y_te = rs.randint(0, 10, 32).astype(np.int64)
+        np.savez(tmp_path / "mnist.npz", x_train=x_tr, y_train=y_tr,
+                 x_test=x_te, y_test=y_te)
+        return x_tr, y_tr
+
+    def test_mnist_npz_shapes_dtype_normalization(self, tmp_path):
+        import numpy as np
+
+        from bayesian_torch_tpu.examples._data import load_mnist
+
+        x_raw, y_raw = self._write_mnist(tmp_path)
+        (x_tr, y_tr), (x_te, y_te) = load_mnist(data_dir=str(tmp_path))
+        assert x_tr.shape == (64, 1, 28, 28) and x_te.shape == (32, 1, 28, 28)
+        assert x_tr.dtype == np.float32 and y_tr.dtype == np.int32
+        # reference normalization: (x/255 - 0.1307) / 0.3081
+        expect = ((x_raw.astype(np.float32) / 255.0) - 0.1307) / 0.3081
+        np.testing.assert_allclose(x_tr[:, 0], expect, rtol=1e-6)
+        np.testing.assert_array_equal(y_tr, y_raw.astype(np.int32))
+
+    def test_cifar10_npz_channel_normalization(self, tmp_path):
+        import numpy as np
+
+        from bayesian_torch_tpu.examples._data import load_cifar10
+
+        rs = np.random.RandomState(1)
+        x_tr = rs.randint(0, 256, (16, 3, 32, 32), dtype=np.uint8)
+        y_tr = rs.randint(0, 10, 16).astype(np.int64)
+        np.savez(tmp_path / "cifar10.npz", x_train=x_tr, y_train=y_tr,
+                 x_test=x_tr[:4], y_test=y_tr[:4])
+        (xt, yt), _ = load_cifar10(data_dir=str(tmp_path))
+        assert xt.shape == (16, 3, 32, 32) and xt.dtype == np.float32
+        mean = np.array([0.4914, 0.4822, 0.4465], np.float32)
+        std = np.array([0.2470, 0.2435, 0.2616], np.float32)
+        expect = (x_tr.astype(np.float32) / 255.0
+                  - mean.reshape(1, 3, 1, 1)) / std.reshape(1, 3, 1, 1)
+        np.testing.assert_allclose(xt, expect, rtol=1e-5)
+
+    def test_prenormalized_float_npz_passthrough(self, tmp_path):
+        """Already-float npz (max <= 2.0) skips the /255 — the contract
+        for users exporting normalized arrays."""
+        import numpy as np
+
+        from bayesian_torch_tpu.examples._data import load_mnist
+
+        x = np.random.RandomState(2).rand(8, 1, 28, 28).astype(np.float32)
+        y = np.zeros(8, np.int64)
+        np.savez(tmp_path / "mnist.npz", x_train=x, y_train=y,
+                 x_test=x, y_test=y)
+        (xt, _), _ = load_mnist(data_dir=str(tmp_path))
+        expect = (x.reshape(8, 1, 28, 28) - 0.1307) / 0.3081
+        np.testing.assert_allclose(xt, expect, rtol=1e-6)
+
+    def test_missing_npz_falls_back_to_synthetic(self, tmp_path):
+        from bayesian_torch_tpu.examples._data import load_mnist
+
+        (x_tr, y_tr), _ = load_mnist(data_dir=str(tmp_path))  # no file
+        assert x_tr.shape[1:] == (1, 28, 28)
+        assert x_tr.shape[0] > 0
+
+    def test_imagenet_val_npz(self, tmp_path):
+        import numpy as np
+
+        from bayesian_torch_tpu.examples._data import load_imagenet_val
+
+        x = np.random.RandomState(3).rand(4, 3, 64, 64).astype(np.float32)
+        y = np.arange(4).astype(np.int64)
+        np.savez(tmp_path / "imagenet_val.npz", x=x, y=y)
+        xo, yo = load_imagenet_val(data_dir=str(tmp_path))
+        np.testing.assert_allclose(xo, x)
+        assert yo.dtype == np.int32

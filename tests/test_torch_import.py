@@ -139,3 +139,70 @@ def test_import_strict_raises_on_unknown_key():
         ours, {"bogus.key": np.zeros(3)}, strict=False)
     assert unexpected == ["bogus.key"]
     assert "conv1.mu_kernel" in missing
+
+
+def test_pretrained_det_resnet_to_moped_roundtrip(tmp_path):
+    """The reference MOPED on-ramp, end-to-end with a real torch file:
+    a torchvision-layout deterministic ResNet-18 checkpoint
+    (models/deterministic/resnet_large.py:27-31 model_urls; applied at
+    main_bayesian_imagenet.py:400-432) -> torch.save ->
+    import_torch_state_dict into our det twin (forward parity) ->
+    MOPED into the Bayesian twin (mu == w, rho == get_rho(w, delta),
+    and the sigma->0 forward matches the deterministic one)."""
+    import jax.numpy as jnp
+    import torch
+
+    oracle.import_reference()
+    from bayesian_torch.models.deterministic.resnet_large import (
+        resnet18 as ref_resnet18)
+
+    from bayesian_torch_tpu.models.deterministic.resnet_large import (
+        resnet18)
+
+    ref = ref_resnet18()
+    ref.eval()
+    path = tmp_path / "det_resnet18.pth"
+    torch.save(ref.state_dict(), str(path))
+
+    det = resnet18(rngs=nnx.Rngs(params=0, noise=1))
+    missing, unexpected = import_torch_state_dict(det, str(path))
+    assert missing == [] and unexpected == []
+    det.eval()
+    np.testing.assert_array_equal(
+        np.asarray(det.conv1.weight[...]),
+        ref.conv1.weight.detach().numpy())
+
+    x = np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32)
+    ours = det(jnp.asarray(x))
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs,
+                               rtol=1e-2, atol=1e-2)
+
+    # MOPED: det weights become priors + surrogate posteriors
+    from bayesian_torch_tpu.models.bayesian.resnet_variational_large \
+        import resnet18 as bayes_resnet18
+    from bayesian_torch_tpu.utils.util import MOPED, get_rho
+
+    bay = bayes_resnet18(rngs=nnx.Rngs(params=2, noise=3))
+    MOPED(bay, det, None, delta=0.5)
+    np.testing.assert_array_equal(
+        np.asarray(bay.conv1.mu_kernel[...]),
+        ref.conv1.weight.detach().numpy())
+    np.testing.assert_allclose(
+        np.asarray(bay.conv1.rho_kernel[...]),
+        np.asarray(get_rho(det.conv1.weight[...], 0.5)), rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(bay.fc.mu_weight[...]),
+        ref.fc.weight.detach().numpy())
+
+    # sigma -> 0: the MOPED-initialized Bayesian forward reproduces det
+    for _, mod in nnx.iter_modules(bay):
+        for attr in ("rho_kernel", "rho_weight", "rho_bias"):
+            if getattr(mod, attr, None) is not None:
+                getattr(mod, attr)[...] = jnp.full_like(
+                    getattr(mod, attr)[...], -100.0)
+    bay.eval()
+    out_b, _ = bay(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_b), theirs,
+                               rtol=1e-2, atol=1e-2)
