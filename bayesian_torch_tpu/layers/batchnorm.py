@@ -94,17 +94,48 @@ class _BatchNormNdLayer(nnx.Module):
                 f"expected {self.nd + 2}D input (got {x.ndim}D input)")
         # explicit channel-tiled MC axis (parallel.mc structured mode):
         # channels are S*C with draw s in block s; per-C stats/affine
-        # tile S times. Eval-mode only (running stats are per-C).
+        # tile S times. Training mode computes PER-DRAW-BLOCK batch
+        # stats from the (..., S, C) reshape — each draw normalizes by
+        # its own batch statistics, exactly like the vmapped path — and
+        # applies ONE EMA update from the draw-averaged stats (the same
+        # semantics as mc_forward's bn_stats="ema").
         S = getattr(self, "_mc_structured", None)
         if S and self.data_format != "NCHW" \
                 and x.shape[-1] == S * self.num_features:
+            C = self.num_features
             if self.training or not self.track_running_stats:
-                raise NotImplementedError(
-                    "structured MC mode is inference-only (BN running "
-                    "stats are per-channel)")
+                xr = x.reshape(x.shape[:-1] + (S, C))
+                axes = tuple(range(xr.ndim - 2))
+                mean_sc = jnp.mean(xr, axis=axes, dtype=jnp.float32)
+                var_sc = jnp.mean(
+                    jnp.square(xr.astype(jnp.float32)), axis=axes,
+                ) - jnp.square(mean_sc)
+                if self.training and self.track_running_stats \
+                        and not self.stats_frozen:
+                    n = x.size / (S * C)
+                    unbiased = var_sc * (n / max(n - 1.0, 1.0))
+                    self.num_batches_tracked[...] = (
+                        self.num_batches_tracked[...] + 1)
+                    if self.momentum is None:
+                        factor = 1.0 / self.num_batches_tracked[
+                            ...].astype(jnp.float32)
+                    else:
+                        factor = self.momentum
+                    self.running_mean[...] = (
+                        (1 - factor) * self.running_mean[...]
+                        + factor * jax.lax.stop_gradient(
+                            mean_sc.mean(axis=0)))
+                    self.running_var[...] = (
+                        (1 - factor) * self.running_var[...]
+                        + factor * jax.lax.stop_gradient(
+                            unbiased.mean(axis=0)))
+                mean = mean_sc.reshape(-1)
+                var = var_sc.reshape(-1)
+            else:
+                mean = jnp.tile(self.running_mean[...], S)
+                var = jnp.tile(self.running_var[...], S)
             return self._scale_shift(
-                x, jnp.tile(self.running_mean[...], S),
-                jnp.tile(self.running_var[...], S),
+                x, mean, var,
                 (jnp.tile(self.weight[...], S) if self.affine else None),
                 (jnp.tile(self.bias[...], S) if self.affine else None),
                 (1,) * (x.ndim - 1) + (-1,))

@@ -143,6 +143,79 @@ def _presample_layers(model, num_mc):
     return touched
 
 
+def _presample_layers_xla(model, num_mc):
+    """Draw all layers' per-draw weights with plain XLA rbg normals and
+    attach them as Presampled variables — behind a
+    ``lax.optimization_barrier``.
+
+    THE BARRIER IS THE POINT: when the mu+sigma*eps weight
+    materialization stays fusable, XLA can fold it into every conv's
+    weight feed and the vmapped convs run ~30% slower than the same
+    convs consuming materialized weights (hand-rolled layer3 microcosm:
+    18.9 ms in-graph vs 14.1 ms weights-as-arguments vs det 14.5; the
+    barrier alone recovers it: 14.46 ms). Scale-dependence, measured
+    round 4: at 3-Bottleneck library-class scale the barrier recovers
+    19.2 -> 17.3 ms (det 13.1); at FULL flagship scale it is NEUTRAL —
+    the RN50 HLO already materializes the sampled weights in separate
+    fusions (all 54 conv weight feeds are pure relayouts either way),
+    so this mode is opt-in, mainly useful for small/medium models where
+    XLA chooses to inline the sampling.
+
+    Same per-forward-redraw semantics as the in-vmap path: fresh draws
+    every call, one (num_mc, ...) normal per layer from its own noise
+    stream. reparam layers get W_s = mu + sigma*eps_s; flipout layers
+    get delta_s = sigma*eps_s (their mean path reads mu directly).
+    """
+    from bayesian_torch_tpu.layers.base_variational_layer import Presampled
+    from bayesian_torch_tpu.models.dnn_to_bnn import iter_bayesian_layers
+    from bayesian_torch_tpu.ops.sampling import sigma_from_rho
+
+    entries = []
+    tensors = []
+    for layer in iter_bayesian_layers(model):
+        est = getattr(layer, "estimator", None)
+        if est is None:
+            est = ("flipout" if type(layer).__name__.endswith("Flipout")
+                   else "reparameterization")
+        is_conv = getattr(layer, "mu_kernel", None) is not None
+        is_lin = getattr(layer, "mu_weight", None) is not None
+        if not (is_conv or is_lin) or getattr(layer, "quant_prepare",
+                                              False):
+            continue
+        mu = layer.mu_kernel[...] if is_conv else layer.mu_weight[...]
+        rho = layer.rho_kernel[...] if is_conv else layer.rho_weight[...]
+        sigma = sigma_from_rho(rho)
+        dtype = layer.compute_dtype or mu.dtype
+        eps = jax.random.normal(layer.rngs.noise(),
+                                (num_mc,) + mu.shape)
+        w = (sigma * eps if est == "flipout"
+             else mu + sigma * eps).astype(dtype)
+        b = None
+        if layer.mu_bias is not None:
+            eps_b = jax.random.normal(layer.rngs.noise(),
+                                      (num_mc,) + layer.mu_bias.shape)
+            sigma_b = sigma_from_rho(layer.rho_bias[...])
+            b = (sigma_b * eps_b if est == "flipout"
+                 else layer.mu_bias[...] + sigma_b * eps_b)
+        entries.append((layer, b is not None))
+        tensors.append(w)
+        if b is not None:
+            tensors.append(b)
+    if not entries:
+        return []
+    tensors = jax.lax.optimization_barrier(tensors)
+    it = iter(tensors)
+    touched = []
+    for layer, has_b in entries:
+        layer._presampled_w = Presampled(next(it))
+        attrs = ["_presampled_w"]
+        if has_b:
+            layer._presampled_b = Presampled(next(it))
+            attrs.append("_presampled_b")
+        touched.append((layer, attrs))
+    return touched
+
+
 def _mc_forward_structured(model, x, num_mc, return_kl):
     """Explicit channel-tiled MC axis (no vmap): every layer sees
     (B, *sp, S*C) with draw s in channel block s. Built for Flipout
@@ -151,7 +224,10 @@ def _mc_forward_structured(model, x, num_mc, return_kl):
     transposes around every sign multiply (doc/PROFILE_r03.md). All
     convs here are feature_group_count=S grouped convs in the fast
     (B, *sp, S, C) form, and the sign hashes are generated directly in
-    that order. Inference-only (BN running stats)."""
+    that order. Training works too: BatchNorm computes per-draw-block
+    batch stats from the (..., S, C) reshape and applies one EMA update
+    from the draw-averaged stats (same semantics as bn_stats="ema" on
+    the vmapped path; layers/batchnorm.py structured branch)."""
     flagged = []
     try:
         for _, mod in nnx.iter_modules(model):
@@ -220,6 +296,12 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
     # measurement trail. Default: off.
     # 'auto' resolves to OFF: the measured conclusion above holds for
     # every conv model tried; the sampler is explicit-opt-in only.
+    #
+    # presample="xla" (round 4) is a DIFFERENT animal: plain XLA
+    # normals drawn outside the vmap behind an optimization_barrier —
+    # no Pallas, no flat buffer. The barrier stops XLA fusing the
+    # weight materialization into every conv (measured ~30% conv-time
+    # tax; _presample_layers_xla docstring has the numbers).
     use_presample = presample == "on"
     presampled = []
     try:
@@ -227,10 +309,16 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
             try:
                 result = _mc_forward_structured(model, x, num_mc,
                                                 return_kl)
-            except NotImplementedError:
+            except NotImplementedError as e:
                 # a layer without structured support (transposed conv,
-                # NCHW, training-mode BN, ...): fall back to the vmapped
-                # path — same math, different emission
+                # NCHW, ...): fall back to the vmapped path — same
+                # math, different emission. Logged so a perf-sensitive
+                # caller notices the emission change (VERDICT r3 #3).
+                import warnings
+
+                warnings.warn(
+                    f"mc_forward(structured=True) fell back to the "
+                    f"vmapped path: {e}", RuntimeWarning, stacklevel=2)
                 result = None
             if result is not None:
                 if mesh is not None:
@@ -239,7 +327,9 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
                         outs, NamedSharding(mesh, P("mc", "data")))
                     result = (outs, result[1]) if return_kl else outs
                 return result
-        if use_presample:
+        if presample == "xla" and num_mc > 1:
+            presampled = _presample_layers_xla(model, num_mc)
+        elif use_presample:
             presampled = _presample_layers(model, num_mc)
         return _mc_forward_inner(model, x, num_mc, mesh, return_kl,
                                  bn_stats)

@@ -97,3 +97,61 @@ def test_mc_forward_presample_path():
     # transient state cleaned up
     assert getattr(net.fc, "_presampled_w", None) is None
     assert getattr(net.conv, "_presampled_w", None) is None
+
+
+def test_mc_forward_presample_xla_path():
+    """presample='xla' (optimization_barrier mode): same semantics as
+    the in-vmap draw — fresh per-call draws, per-layer streams — and
+    grads flow through the barrier into mu/rho."""
+    from bayesian_torch_tpu.layers import (Conv2dFlipout,
+                                           LinearReparameterization)
+    from bayesian_torch_tpu.parallel import mc_forward
+
+    class Net(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(params=0, noise=jax.random.key(1, impl="rbg"))
+            self.conv = Conv2dFlipout(3, 8, 3, padding=1, rngs=r)
+            self.fc = LinearReparameterization(8 * 4 * 4, 10, rngs=r)
+
+        def __call__(self, x):
+            h, k1 = self.conv(x)
+            h = h.reshape(h.shape[0], -1)
+            o, k2 = self.fc(h)
+            return o, k1 + k2
+
+    net = Net()
+    x = jax.random.normal(jax.random.key(2), (2, 3, 4, 4))
+    outs, kl = mc_forward(net, x, 3, presample="xla")
+    assert outs.shape == (3, 2, 10)
+    assert float(kl) > 0
+    # transient state cleaned up even on the xla path
+    assert getattr(net.fc, "_presampled_w", None) is None
+    assert getattr(net.conv, "_presampled_w", None) is None
+    # fresh draws each call
+    outs2 = mc_forward(net, x, 3, presample="xla", return_kl=False)
+    assert float(jnp.abs(outs - outs2).max()) > 1e-6
+    # draws actually vary across the MC axis
+    assert float(jnp.abs(outs[0] - outs[1]).max()) > 1e-6
+
+    # sigma->0: xla mode equals the default in-vmap path exactly
+    for mod in (net.conv, net.fc):
+        for attr in ("rho_kernel", "rho_weight", "rho_bias"):
+            if getattr(mod, attr, None) is not None:
+                getattr(mod, attr)[...] = \
+                    getattr(mod, attr)[...] * 0 - 30
+    o_xla = mc_forward(net, x, 3, presample="xla", return_kl=False)
+    o_ref = mc_forward(net, x, 3, return_kl=False)
+    np.testing.assert_allclose(np.asarray(o_xla), np.asarray(o_ref),
+                               rtol=1e-5, atol=1e-6)
+
+    # grads flow through the optimization_barrier
+    def loss(model):
+        o, k = mc_forward(model, x, 3, presample="xla")
+        return (o ** 2).mean() + 0.0 * k
+
+    g = nnx.grad(loss)(net)
+    gm = dict(nnx.to_flat_state(g))
+    nonzero = sum(
+        float(jnp.abs(v[...]).max()) > 0 for v in gm.values()
+        if hasattr(v, "__getitem__"))
+    assert nonzero >= 2

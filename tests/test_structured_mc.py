@@ -193,3 +193,88 @@ def test_structured_reparam_statistics():
     se = (outs_s.std(0) + outs_v.std(0)) / np.sqrt(n) + 1e-3
     diff = np.abs(outs_s.mean(0) - outs_v.mean(0))
     assert (diff < 6 * se).all(), (diff / se).max()
+
+
+def _sigma0(model):
+    for _, mod in nnx.iter_modules(model):
+        for attr in ("rho_kernel", "rho_bias", "rho_weight"):
+            if getattr(mod, attr, None) is not None:
+                getattr(mod, attr)[...] = \
+                    getattr(mod, attr)[...] * 0 - 25
+    return model
+
+
+def test_structured_train_sigma0_equals_vmapped():
+    """Training mode (VERDICT r3 #3): per-draw-block batch stats + one
+    EMA update. With sigma->0, structured and vmapped (bn_stats='ema')
+    must agree on outputs AND on the post-forward BN running stats."""
+    x = jnp.asarray(np.random.RandomState(6).randn(B, 4, 4, 3),
+                    jnp.float32)
+    m_s = _sigma0(_Net(make_rngs(0, noise_seed=1)))  # training=True
+    m_v = _sigma0(_Net(make_rngs(0, noise_seed=1)))
+
+    outs_s = mc_forward(m_s, x, S, return_kl=False, structured=True)
+    outs_v = mc_forward(m_v, x, S, return_kl=False)
+    np.testing.assert_allclose(np.asarray(outs_s), np.asarray(outs_v),
+                               rtol=2e-4, atol=2e-4)
+    # identical EMA semantics: draw-averaged batch stats, one update
+    np.testing.assert_allclose(np.asarray(m_s.bn.running_mean[...]),
+                               np.asarray(m_v.bn.running_mean[...]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_s.bn.running_var[...]),
+                               np.asarray(m_v.bn.running_var[...]),
+                               rtol=1e-5, atol=1e-6)
+    assert int(m_s.bn.num_batches_tracked[...]) == \
+        int(m_v.bn.num_batches_tracked[...]) == 1
+    # the stats actually moved (the EMA applied)
+    assert float(np.abs(np.asarray(m_s.bn.running_mean[...])).max()) > 0
+
+
+def test_structured_train_gradients_match_vmapped():
+    """sigma->0 gradient equality through the full structured train
+    path (grouped convs + per-block BN batch stats + structured fc)."""
+    x = jnp.asarray(np.random.RandomState(7).randn(B, 4, 4, 3),
+                    jnp.float32)
+
+    def loss_fn(model, structured):
+        outs = mc_forward(model, x, S, return_kl=False,
+                          structured=structured)
+        return (outs.mean(0) ** 2).mean()
+
+    m_s = _sigma0(_Net(make_rngs(0, noise_seed=1)))
+    m_v = _sigma0(_Net(make_rngs(0, noise_seed=1)))
+    g_s = nnx.grad(lambda m: loss_fn(m, True))(m_s)
+    g_v = nnx.grad(lambda m: loss_fn(m, False))(m_v)
+    flat_s = dict(nnx.to_flat_state(g_s))
+    flat_v = dict(nnx.to_flat_state(g_v))
+    assert flat_s.keys() == flat_v.keys()
+    checked = 0
+    for k, v in flat_s.items():
+        path = "/".join(str(p) for p in k)
+        if "mu_" in path or "weight" in path or "bias" in path:
+            np.testing.assert_allclose(
+                np.asarray(v[...]), np.asarray(flat_v[k][...]),
+                rtol=5e-4, atol=5e-4, err_msg=path)
+            checked += 1
+    assert checked >= 4
+
+
+def test_structured_fallback_warns():
+    """The vmap fallback is logged, not silent (VERDICT r3 #3)."""
+    import pytest
+
+    from bayesian_torch_tpu.layers import ConvTranspose2dFlipout
+
+    class TNet(nnx.Module):
+        def __init__(self, rngs):
+            self.deconv = ConvTranspose2dFlipout(
+                3, 4, 3, data_format="NHWC", rngs=rngs)
+
+        def __call__(self, x):
+            return self.deconv(x)
+
+    m = TNet(make_rngs(0, noise_seed=1))
+    x = jnp.ones((2, 4, 4, 3), jnp.float32)
+    with pytest.warns(RuntimeWarning, match="fell back"):
+        outs = mc_forward(m, x, S, return_kl=False, structured=True)
+    assert outs.shape[0] == S
