@@ -214,7 +214,7 @@ def _measure_int8(data_format="NHWC"):
     return t_redraw, t_frozen
 
 
-def _train_step_time(kind, batch, data_format="NHWC"):
+def _train_step_time(kind, batch, data_format="NHWC", frozen_bn=False):
     """ELBO train-step time (fwd+bwd+update, donated state)."""
     from bayesian_torch_tpu.parallel import mc_forward
 
@@ -224,14 +224,23 @@ def _train_step_time(kind, batch, data_format="NHWC"):
         )
         model = resnet50(rngs=nnx.Rngs(params=0, noise=1),
                          data_format=data_format)
+    elif kind == "flipout_mc4":
+        from bayesian_torch_tpu.models.bayesian.resnet_flipout_large \
+            import resnet50
+        model = resnet50(rngs=nnx.Rngs(
+            params=jax.random.key(0),
+            noise=jax.random.key(1, impl="rbg")), data_format=data_format)
     else:
         from bayesian_torch_tpu.models.bayesian.resnet_variational_large \
             import resnet50
         model = resnet50(rngs=nnx.Rngs(
             params=jax.random.key(0),
             noise=jax.random.key(1, impl="rbg")), data_format=data_format)
-    num_mc = {"det": 0, "mc1": 1, "mc4": 4}[kind]
+    num_mc = {"det": 0, "mc1": 1, "mc4": 4, "flipout_mc4": 4}[kind]
     model.train()
+    if frozen_bn:
+        from bayesian_torch_tpu.utils import freeze_batchnorm
+        freeze_batchnorm(model)
     _set_compute_dtype(model, COMPUTE_DTYPE)
     opt = nnx.Optimizer(model, optax.sgd(0.01, 0.9), wrt=nnx.Param)
     gd, st = nnx.split((model, opt))
@@ -267,7 +276,8 @@ def _train_step_time(kind, batch, data_format="NHWC"):
         return loss
 
     t = _step_time(wrapped)
-    _log(f"train {kind} bs{batch}: {t * 1e3:.2f} ms")
+    tag = f"{kind}{'-frozenbn' if frozen_bn else ''}"
+    _log(f"train {tag} bs{batch}: {t * 1e3:.2f} ms")
     return t
 
 
@@ -325,9 +335,22 @@ def main():
                 sol_fraction(mc4_flops, train["mc4"]), 4),
         }
 
+    def train_extra_section():
+        # flipout train visibility (VERDICT r3 #3) + the opt-in
+        # frozen-stat BN step (VERDICT r3 #8)
+        t_flip = _train_step_time("flipout_mc4", TRAIN_BATCH)
+        t_frozen = _train_step_time("mc4", TRAIN_BATCH, frozen_bn=True)
+        return {
+            "train_flipout_mc4_ms": round(t_flip * 1e3, 2),
+            "train_flipout_mc4_ips": round(TRAIN_BATCH / t_flip, 1),
+            "train_mc4_frozenbn_ms": round(t_frozen * 1e3, 2),
+            "train_mc4_frozenbn_ips": round(TRAIN_BATCH / t_frozen, 1),
+        }
+
     _soft(extras, "flipout", flipout_section)
     _soft(extras, "int8", int8_section)
     _soft(extras, "train", train_section)
+    _soft(extras, "train_extra", train_extra_section)
 
     alt = "NHWC" if layout == "NCHW" else "NCHW"
     print(json.dumps({

@@ -102,3 +102,51 @@ def test_mc_ema_under_jit_and_grad():
     assert np.any(np.asarray(m.bn.running_mean[...]) != rm0)
     step(m, opt, x)
     assert int(m.bn.num_batches_tracked[...]) == 2
+
+
+def test_freeze_batchnorm_helper():
+    """utils.freeze_batchnorm: BN normalizes by running stats and stops
+    updating them, while the rest of the model keeps training."""
+    import numpy as np
+    from bayesian_torch_tpu.layers import (BatchNorm2dLayer,
+                                           Conv2dReparameterization)
+    from bayesian_torch_tpu.utils import freeze_batchnorm
+
+    class Net(nnx.Module):
+        def __init__(self, rngs):
+            self.conv = Conv2dReparameterization(
+                3, 4, 3, padding=1, data_format="NHWC", rngs=rngs)
+            self.bn = BatchNorm2dLayer(4, data_format="NHWC", rngs=rngs)
+
+        def __call__(self, x):
+            h, kl = self.conv(x)
+            return self.bn(h), kl
+
+    net = Net(nnx.Rngs(params=0, noise=1))
+    # sigma -> 0 so the conv is deterministic and the hand-computed
+    # normalization below sees the same activations
+    net.conv.rho_kernel[...] = net.conv.rho_kernel[...] * 0 - 30
+    net.conv.rho_bias[...] = net.conv.rho_bias[...] * 0 - 30
+    net.train()
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 5, 5, 3),
+                    jnp.float32)
+    net(x)  # warm the running stats once
+    rm = np.asarray(net.bn.running_mean[...]).copy()
+    nbt = int(net.bn.num_batches_tracked[...])
+
+    n = freeze_batchnorm(net)
+    assert n == 1
+    assert net.bn.training is False
+
+    out, _ = net(x + 1.0)
+    # stats untouched by the frozen forward
+    np.testing.assert_array_equal(
+        np.asarray(net.bn.running_mean[...]), rm)
+    assert int(net.bn.num_batches_tracked[...]) == nbt
+    # normalization used the running stats, not this batch's stats
+    h, _ = net.conv(x + 1.0)
+    inv = 1.0 / np.sqrt(np.asarray(net.bn.running_var[...]) + net.bn.eps)
+    expected = (np.asarray(h) - rm) * inv \
+        * np.asarray(net.bn.weight[...]) + np.asarray(net.bn.bias[...])
+    np.testing.assert_allclose(np.asarray(out), expected,
+                               rtol=2e-5, atol=2e-5)
