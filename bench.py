@@ -255,7 +255,12 @@ def _train_step_time(kind, batch, data_format="NHWC", frozen_bn=False):
                 ce = optax.softmax_cross_entropy_with_integer_labels(
                     out.astype(jnp.float32), y).mean()
                 return ce
-            outs, kl = mc_forward(model, x, num_mc)
+            # flipout trains fastest through the structured
+            # (vmap-free channel-tiled) path now that it supports
+            # training-mode BN: 431.5 vs 502.1 ms vmapped at MC4 bs128
+            # (round 4; reparam keeps vmap: 885 vs 957 ips structured)
+            outs, kl = mc_forward(model, x, num_mc,
+                                  structured=(kind == "flipout_mc4"))
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 outs.mean(0).astype(jnp.float32), y).mean()
             return ce + kl / batch
