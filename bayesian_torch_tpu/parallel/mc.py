@@ -246,11 +246,64 @@ def _mc_forward_structured(model, x, num_mc, return_kl):
     return outs
 
 
+def _mc_forward_scan(model, x, num_mc, return_kl, unroll=1):
+    """``lax.scan`` over the draw axis: each iteration runs the plain
+    4-D det-form forward with that draw's noise stream.
+
+    Why this emission exists (round 4, doc/PROFILE_r04.md): the vmapped
+    MC forward pays (i) cross-draw weight relayout fusions (a
+    (10,1024,512,1,1) sampled kernel relayouts at ~23 GB/s) and (ii) a
+    5-D conv-emitter tiling spread — neither a raw-conv form tax nor
+    sampling FLOPs. Scanning the draw axis gives XLA exactly the
+    deterministic model's HLO per iteration (same fusion forms as the
+    10x-det denominator), with per-draw weights built inside the body.
+    The loop serializes draws, which is free when one draw's batch
+    already fills the chip (bs>=128 RN50).
+
+    Eval-only: BN running-stat EMA updates under a scanned draw axis
+    would need carried stats; training keeps the vmapped path.
+
+    Key-derivation note: both emissions split the 'noise' stream
+    ``num_mc`` ways (nnx.split_rngs), but the scan carries the RngCount
+    across iterations, so only draw 0 is bit-identical to the vmapped
+    draw 0; later draws consume the same split keys at different
+    fold-in counts — independent, valid draws (tests/test_mc_scan.py).
+
+    Mesh note: the draw loop is sequential, so a 'mc' mesh axis gains
+    nothing here — each iteration is batch-sharded over 'data' and the
+    stacked output is then constraint-resharded to ('mc','data') for
+    API parity. Multi-chip MC parallelism wants the vmapped emission.
+    """
+    for _, mod in nnx.iter_modules(model):
+        if getattr(mod, "training", False) and getattr(
+                mod, "track_running_stats", False):
+            raise NotImplementedError(
+                "mc_forward(emission='scan') is eval-only: BN "
+                "running-stat updates under a scanned draw axis are "
+                "not supported (use the vmapped path for training)")
+    state_axes = nnx.StateAxes({"noise": 0, ...: None})
+
+    @nnx.split_rngs(splits=num_mc, only="noise")
+    @nnx.scan(in_axes=(state_axes, nnx.Carry),
+              out_axes=(nnx.Carry, 0), unroll=unroll)
+    def _run(model, x):
+        out = model(x)
+        if not isinstance(out, tuple):
+            out = (out, jnp.asarray(0.0))
+        return x, (out[0], jnp.asarray(out[1], jnp.float32))
+
+    _, (outs, kls) = _run(model, x)
+    if return_kl:
+        kl = kls[0] if getattr(kls, "ndim", 0) > 0 else kls
+        return outs, kl
+    return outs
+
+
 def mc_forward(model: nnx.Module, x, num_mc: int, *,
                mesh: Optional[Mesh] = None, return_kl: bool = True,
                compute_kl: Optional[bool] = None,
                presample: str = "off", bn_stats: str = "ema",
-               structured: bool = False):
+               structured: bool = False, emission: str = "vmap"):
     """Run ``num_mc`` stochastic forwards as one vmapped computation.
 
     Returns ``(outputs, kl)`` with outputs stacked on a leading MC axis
@@ -305,6 +358,14 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
     use_presample = presample == "on"
     presampled = []
     try:
+        if emission == "scan" and num_mc > 1 and not structured:
+            result = _mc_forward_scan(model, x, num_mc, return_kl)
+            if mesh is not None:
+                outs = result[0] if return_kl else result
+                outs = jax.lax.with_sharding_constraint(
+                    outs, NamedSharding(mesh, P("mc", "data")))
+                result = (outs, result[1]) if return_kl else outs
+            return result
         if structured and num_mc > 1:
             try:
                 result = _mc_forward_structured(model, x, num_mc,

@@ -1,0 +1,115 @@
+"""mc_forward(emission="scan"): lax.scan over the draw axis.
+
+The scan emission runs each draw as a plain det-form forward (same HLO
+per iteration as the deterministic model) instead of one 5-D vmapped
+program — the round-4 flagship win (doc/PROFILE_r04.md: 134.8 -> 113.1
+ms for RN50 MC-10 bs128). These tests pin its semantics against the
+vmapped reference emission on CPU.
+
+Key derivation note: both emissions split the 'noise' stream num_mc
+ways via nnx.split_rngs, but the scan carries the RngCount across
+iterations, so only draw 0 is bit-identical to vmap's draw 0; later
+draws use the same split keys at different fold-in counts — still
+independent, valid MC draws (asserted statistically here).
+"""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from bayesian_torch_tpu.layers import LinearReparameterization
+from bayesian_torch_tpu.models.bayesian.resnet_variational import resnet20
+from bayesian_torch_tpu.parallel import make_mesh, mc_forward, shard_batch
+
+
+def _resnet_and_input():
+    m = resnet20(rngs=nnx.Rngs(params=jax.random.key(0),
+                               noise=jax.random.key(1, impl="rbg")))
+    m.eval()
+    x = jax.random.normal(jax.random.key(2), (2, 3, 32, 32))
+    return m, x
+
+
+def _run(m, x, num_mc, emission, return_kl=True):
+    gd, st = nnx.split(m)
+
+    @jax.jit
+    def f(st, x):
+        return mc_forward(nnx.merge(gd, st), x, num_mc,
+                          return_kl=return_kl, emission=emission)
+
+    return f(st, x)
+
+
+def test_scan_matches_vmap_draw0_and_kl():
+    m, x = _resnet_and_input()
+    o_v, kl_v = _run(m, x, 4, "vmap")
+    o_s, kl_s = _run(m, x, 4, "scan")
+    assert o_s.shape == o_v.shape == (4, 2, 10)
+    # draw 0 consumes the identical split key at count 0 in both
+    # emissions -> same draw up to fusion-order float noise
+    np.testing.assert_allclose(np.asarray(o_v[0]), np.asarray(o_s[0]),
+                               rtol=1e-4, atol=1e-3)
+    # KL is a function of parameters only -> exactly equal
+    np.testing.assert_allclose(float(kl_v), float(kl_s), rtol=1e-6)
+
+
+def test_scan_draws_are_distinct():
+    m, x = _resnet_and_input()
+    o_s = _run(m, x, 4, "scan", return_kl=False)
+    for i in range(1, 4):
+        assert np.abs(np.asarray(o_s[i] - o_s[0])).max() > 1e-3
+
+
+def test_scan_moments_match_mean_forward():
+    m = LinearReparameterization(6, 4, posterior_rho_init=-2.0,
+                                 rngs=nnx.Rngs(params=0, noise=1))
+    x = jnp.ones((1, 6))
+    outs = _run(m, x, 2000, "scan", return_kl=False)
+    mu_fwd = np.asarray(x) @ np.asarray(m.mu_weight[...]).T + np.asarray(
+        m.mu_bias[...])
+    np.testing.assert_allclose(np.asarray(outs).mean(0), mu_fwd, atol=0.07)
+
+
+def test_scan_deterministic_given_state():
+    m, x = _resnet_and_input()
+    o1 = _run(m, x, 3, "scan", return_kl=False)
+    o2 = _run(m, x, 3, "scan", return_kl=False)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_scan_training_bn_raises():
+    m, x = _resnet_and_input()
+    m.train()
+    with pytest.raises(NotImplementedError, match="eval-only"):
+        mc_forward(m, x, 4, emission="scan")
+
+
+def test_scan_num_mc_1_falls_through():
+    # num_mc=1 routes to the plain single-forward path regardless of
+    # emission (exact reference semantics incl. BN stat updates)
+    m, x = _resnet_and_input()
+    o, kl = _run(m, x, 1, "scan")
+    assert o.shape == (1, 2, 10)
+    assert kl.shape == ()
+
+
+def test_scan_sharded_output():
+    mesh = make_mesh(mc=4, data=2)
+    m = LinearReparameterization(6, 4, rngs=nnx.Rngs(params=0, noise=1))
+    x = shard_batch(jnp.ones((4, 6)), mesh)
+
+    @nnx.jit
+    def run(m, x):
+        return mc_forward(m, x, num_mc=4, mesh=mesh, emission="scan")
+
+    with mesh:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # no silent-fallback warnings
+            outs, kl = run(m, x)
+    assert outs.shape == (4, 4, 4)
+    assert len(outs.sharding.device_set) == 8
