@@ -83,19 +83,28 @@ def make_train_step(num_mc: int, batch_size: int, mesh=None):
     return train_step
 
 
-def make_eval_step(num_mc: int, mesh=None, structured: bool = False):
+def make_eval_step(num_mc: int, mesh=None, structured: bool = False,
+                   emission: str = "auto"):
     """Jitted MC predictive step -> per-sample class probabilities of
     shape (num_mc, batch, classes).
 
     ``structured=True`` routes through the vmap-free channel-tiled MC
     path (parallel.mc) — the fast form for Flipout inference
     (doc/PROFILE_r03.md); falls back automatically if the model's
-    layers don't support it."""
+    layers don't support it.
+
+    ``emission="auto"`` picks the scan-over-draws emission for plain
+    single-chip eval (the round-4 flagship form, doc/PROFILE_r04.md:
+    each draw runs the det-form HLO) and the vmapped emission whenever
+    a mesh or the structured path is requested (scan serializes draws,
+    so an 'mc' mesh axis gains nothing under it)."""
+    if emission == "auto":
+        emission = "vmap" if (mesh is not None or structured) else "scan"
 
     @nnx.jit
     def eval_step(model, x):
         outs = mc_forward(model, x, num_mc, return_kl=False, mesh=mesh,
-                          structured=structured)
+                          structured=structured, emission=emission)
         return jax.nn.softmax(outs, axis=-1)
 
     return eval_step

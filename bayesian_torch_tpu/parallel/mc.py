@@ -246,7 +246,7 @@ def _mc_forward_structured(model, x, num_mc, return_kl):
     return outs
 
 
-def _mc_forward_scan(model, x, num_mc, return_kl, unroll=1):
+def _mc_forward_scan(model, x, num_mc, return_kl, unroll=1, remat=True):
     """``lax.scan`` over the draw axis: each iteration runs the plain
     4-D det-form forward with that draw's noise stream.
 
@@ -283,14 +283,23 @@ def _mc_forward_scan(model, x, num_mc, return_kl, unroll=1):
                 "not supported (use the vmapped path for training)")
     state_axes = nnx.StateAxes({"noise": 0, ...: None})
 
-    @nnx.split_rngs(splits=num_mc, only="noise")
-    @nnx.scan(in_axes=(state_axes, nnx.Carry),
-              out_axes=(nnx.Carry, 0), unroll=unroll)
-    def _run(model, x):
+    def _body(model, x):
         out = model(x)
         if not isinstance(out, tuple):
             out = (out, jnp.asarray(0.0))
         return x, (out[0], jnp.asarray(out[1], jnp.float32))
+
+    if remat:
+        # Differentiating through the scan would otherwise save every
+        # draw's full activation set (RN50 MC-4 bs128: 28 GB > HBM);
+        # remat re-runs each draw's forward in its backward instead —
+        # the standard scan-over-layers recipe. Free for eval (remat
+        # only changes the VJP; the primal HLO is identical).
+        _body = nnx.remat(_body)
+
+    _run = nnx.split_rngs(splits=num_mc, only="noise")(
+        nnx.scan(_body, in_axes=(state_axes, nnx.Carry),
+                 out_axes=(nnx.Carry, 0), unroll=unroll))
 
     _, (outs, kls) = _run(model, x)
     if return_kl:
@@ -359,13 +368,25 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
     presampled = []
     try:
         if emission == "scan" and num_mc > 1 and not structured:
-            result = _mc_forward_scan(model, x, num_mc, return_kl)
-            if mesh is not None:
-                outs = result[0] if return_kl else result
-                outs = jax.lax.with_sharding_constraint(
-                    outs, NamedSharding(mesh, P("mc", "data")))
-                result = (outs, result[1]) if return_kl else outs
-            return result
+            try:
+                result = _mc_forward_scan(model, x, num_mc, return_kl)
+            except NotImplementedError as e:
+                # training-mode BN: fall back to the vmapped path (same
+                # math, EMA-capable emission) — logged, not silent,
+                # like the structured fallback below.
+                import warnings
+
+                warnings.warn(
+                    f"mc_forward(emission='scan') fell back to the "
+                    f"vmapped path: {e}", RuntimeWarning, stacklevel=2)
+                result = None
+            if result is not None:
+                if mesh is not None:
+                    outs = result[0] if return_kl else result
+                    outs = jax.lax.with_sharding_constraint(
+                        outs, NamedSharding(mesh, P("mc", "data")))
+                    result = (outs, result[1]) if return_kl else outs
+                return result
         if structured and num_mc > 1:
             try:
                 result = _mc_forward_structured(model, x, num_mc,

@@ -1,7 +1,9 @@
 """Flagship benchmark: Bayesian ResNet-50 on TPU — inference + training.
 
 Headline metric: images/sec/chip through the 10-MC-sample Bayesian
-ResNet-50 (vmapped MC axis). vs_baseline: ratio against the "10x
+ResNet-50, best MC emission (vmapped MC axis vs the round-4
+scan-over-draws emission — the JSON carries which won and the vmap
+number). vs_baseline: ratio against the "10x
 deterministic forward" cost model from BASELINE.json — a deterministic
 ResNet-50 forward on 10 copies of each image, perfectly batched, in the
 SAME precision (bf16) and layout (value 1.0 = Bayesian sampling is
@@ -90,7 +92,7 @@ def _step_time(fn, *args):
     return ts[1]
 
 
-def _build_bayes(kind, data_format):
+def _build_bayes(kind, data_format, emission="vmap"):
     from bayesian_torch_tpu.parallel import mc_forward
 
     if kind == "flipout":
@@ -111,7 +113,8 @@ def _build_bayes(kind, data_format):
     @jax.jit
     def fwd(state, x):
         model = nnx.merge(graphdef, state)
-        return mc_forward(model, x, NUM_MC, return_kl=False).mean()
+        return mc_forward(model, x, NUM_MC, return_kl=False,
+                          emission=emission).mean()
 
     return fwd, state
 
@@ -153,11 +156,13 @@ def _measure_pair(data_format):
 
 
 def _measure_flipout(data_format):
-    # structured (vmap-free, channel-tiled) MC path: keeps both flipout
-    # convs in the fast grouped form with no batching-dim transposes
-    # (ops/conv.py::flipout_conv_structured; exactness-tested in
-    # tests/test_structured_mc.py). 385.9 -> 444 imgs/s vs the vmapped
-    # path at the same batch/layout.
+    # two fast flipout emissions, best wins (round-4 numbers, bs128
+    # NHWC: scan 257.2 ms / structured 288.8 / vmap 332.0):
+    # - scan-over-draws: each draw runs the plain det-form flipout
+    #   forward (benchmarks/bench_scan_more.py);
+    # - structured (vmap-free, channel-tiled): fg=S grouped convs, no
+    #   batching-dim transposes (ops/conv.py::flipout_conv_structured;
+    #   exactness-tested in tests/test_structured_mc.py).
     from bayesian_torch_tpu.models.bayesian.resnet_flipout_large import (
         resnet50,
     )
@@ -169,18 +174,21 @@ def _measure_flipout(data_format):
     model.eval()
     _set_compute_dtype(model, COMPUTE_DTYPE)
     graphdef, state = nnx.split(model)
-
-    @jax.jit
-    def fwd(state, x):
-        model = nnx.merge(graphdef, state)
-        return mc_forward(model, x, NUM_MC, return_kl=False,
-                          structured=True).mean()
-
     x = jax.random.normal(jax.random.key(42), _shape(data_format, BATCH),
                           jnp.float32)
-    t = _step_time(fwd, state, x)
-    _log(f"flipout(structured) {data_format}: {t * 1e3:.2f} ms")
-    return t
+
+    ts = {}
+    for mode, kw in (("scan", dict(emission="scan")),
+                     ("structured", dict(structured=True))):
+        @jax.jit
+        def fwd(state, x, kw=kw):
+            model = nnx.merge(graphdef, state)
+            return mc_forward(model, x, NUM_MC, return_kl=False,
+                              **kw).mean()
+
+        ts[mode] = _step_time(fwd, state, x)
+        _log(f"flipout({mode}) {data_format}: {ts[mode] * 1e3:.2f} ms")
+    return ts
 
 
 def _measure_int8(data_format="NHWC"):
@@ -306,7 +314,20 @@ def main():
 
     # headline: the faster layout (same-layout det as denominator)
     layout = min(results, key=lambda d: results[d][0])
-    t_bayes, t_det = results[layout]
+    t_vmap, t_det = results[layout]
+
+    # scan-over-draws emission (round 4): each draw runs the plain
+    # det-form forward under lax.scan — removes the vmap emission's
+    # cross-draw weight relayouts and 5-D conv tiling spread
+    # (doc/PROFILE_r04.md). Headline takes the faster emission.
+    x = jax.random.normal(jax.random.key(42), _shape(layout, BATCH),
+                          jnp.float32)
+    fwd_scan, state_scan = _build_bayes("bayes", layout, emission="scan")
+    t_scan = _step_time(fwd_scan, state_scan, x)
+    _log(f"bayes {layout} scan: {t_scan * 1e3:.2f} ms")
+
+    emission = "scan" if t_scan < t_vmap else "vmap"
+    t_bayes = min(t_scan, t_vmap)
     bayes_ips = BATCH / t_bayes
     det10_ips = BATCH / t_det
     flops = BATCH * NUM_MC * RESNET50_FLOPS_PER_IMG
@@ -314,8 +335,13 @@ def main():
     extras = {}
 
     def flipout_section():
-        t_flip = _measure_flipout(layout)
+        ts = _measure_flipout(layout)
+        mode = min(ts, key=ts.get)
+        t_flip = ts[mode]
         return {"flipout_ips": round(BATCH / t_flip, 2),
+                "flipout_emission": mode,
+                "flipout_ips_structured": round(
+                    BATCH / ts["structured"], 2),
                 "flipout_vs_2x_reparam": round(
                     (BATCH / t_flip) / (bayes_ips / 2), 4)}
 
@@ -364,6 +390,8 @@ def main():
         "unit": "imgs/sec/chip",
         "vs_baseline": round(bayes_ips / det10_ips, 4),
         "layout": layout,
+        "emission": emission,
+        "bayes_ips_vmap": round(BATCH / t_vmap, 2),
         "sol_bayes": round(sol_fraction(flops, t_bayes), 4),
         "sol_det": round(sol_fraction(flops, t_det), 4),
         f"bayes_ips_{alt.lower()}": round(BATCH / results[alt][0], 2),

@@ -82,11 +82,54 @@ def test_scan_deterministic_given_state():
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
 
 
-def test_scan_training_bn_raises():
+def test_scan_training_bn_falls_back_with_warning():
+    # training-mode BN: scan can't carry the EMA stats -> logged
+    # fallback to the vmapped emission (same math), not an error and
+    # not silent (mirrors the structured-path fallback contract)
     m, x = _resnet_and_input()
     m.train()
+    with pytest.warns(RuntimeWarning, match="fell back to the "):
+        o, kl = mc_forward(m, x, 4, emission="scan")
+    assert o.shape == (4, 2, 10)
+
+    # the internal scan path itself still raises (direct callers)
+    from bayesian_torch_tpu.parallel.mc import _mc_forward_scan
     with pytest.raises(NotImplementedError, match="eval-only"):
-        mc_forward(m, x, 4, emission="scan")
+        _mc_forward_scan(m, x, 4, True)
+
+
+def test_scan_frozen_bn_training_allowed():
+    # freeze_batchnorm puts BN in eval mode -> the scan guard passes
+    # and gradients flow through the draw loop (frozen-stat training)
+    import optax
+
+    from bayesian_torch_tpu.utils import freeze_batchnorm
+
+    m, x = _resnet_and_input()
+    m.train()
+    assert freeze_batchnorm(m) > 0
+    y = jnp.zeros((2,), jnp.int32)
+    gd, st = nnx.split(m)
+
+    @jax.jit
+    def loss_and_grad(st, x, y):
+        model = nnx.merge(gd, st)
+
+        def loss_fn(model):
+            outs, kl = mc_forward(model, x, 2, emission="scan")
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                outs.mean(0), y).mean()
+            return ce + kl / x.shape[0]
+
+        return nnx.value_and_grad(loss_fn)(model)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no fallback warning expected
+        loss, grads = loss_and_grad(st, x, y)
+    assert jnp.isfinite(loss)
+    leaves = jax.tree.leaves(grads)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves
+               if hasattr(g, "dtype"))
 
 
 def test_scan_num_mc_1_falls_through():
