@@ -246,7 +246,8 @@ def _mc_forward_structured(model, x, num_mc, return_kl):
     return outs
 
 
-def _mc_forward_scan(model, x, num_mc, return_kl, unroll=1, remat=True):
+def _mc_forward_scan(model, x, num_mc, return_kl, unroll=1, remat=True,
+                     presample="xla"):
     """``lax.scan`` over the draw axis: each iteration runs the plain
     4-D det-form forward with that draw's noise stream.
 
@@ -273,7 +274,19 @@ def _mc_forward_scan(model, x, num_mc, return_kl, unroll=1, remat=True):
     nothing here — each iteration is batch-sharded over 'data' and the
     stacked output is then constraint-resharded to ('mc','data') for
     API parity. Multi-chip MC parallelism wants the vmapped emission.
+
+    ``presample="xla"`` (default) draws every layer's (S, ...) weights
+    OUTSIDE the loop (plain XLA rbg normals behind an
+    optimization_barrier, _presample_layers_xla) and scans the
+    Presampled axis; the body is then the pure det-form forward.
+    Measured on the flagship (benchmarks/bench_scan_presample.py,
+    RN50 MC-10 bs128): 113.26 ms in-body -> 105.31 ms presampled —
+    the residual over the 10x-det-bs128 floor (98.1 ms) is exactly the
+    known 7.4 ms rbg sampling cost. Costs S x params of HBM (510 MB at
+    RN50 MC-10); pass presample="off" to sample inside the body.
     """
+    from bayesian_torch_tpu.layers.base_variational_layer import Presampled
+
     for _, mod in nnx.iter_modules(model):
         if getattr(mod, "training", False) and getattr(
                 mod, "track_running_stats", False):
@@ -281,7 +294,10 @@ def _mc_forward_scan(model, x, num_mc, return_kl, unroll=1, remat=True):
                 "mc_forward(emission='scan') is eval-only: BN "
                 "running-stat updates under a scanned draw axis are "
                 "not supported (use the vmapped path for training)")
-    state_axes = nnx.StateAxes({"noise": 0, ...: None})
+    presampled = []
+    if presample == "xla" and num_mc > 1:
+        presampled = _presample_layers_xla(model, num_mc)
+    state_axes = nnx.StateAxes({"noise": 0, Presampled: 0, ...: None})
 
     def _body(model, x):
         out = model(x)
@@ -301,7 +317,12 @@ def _mc_forward_scan(model, x, num_mc, return_kl, unroll=1, remat=True):
         nnx.scan(_body, in_axes=(state_axes, nnx.Carry),
                  out_axes=(nnx.Carry, 0), unroll=unroll))
 
-    _, (outs, kls) = _run(model, x)
+    try:
+        _, (outs, kls) = _run(model, x)
+    finally:
+        for layer, attrs in presampled:
+            for a in attrs:
+                delattr(layer, a)
     if return_kl:
         kl = kls[0] if getattr(kls, "ndim", 0) > 0 else kls
         return outs, kl
@@ -311,7 +332,7 @@ def _mc_forward_scan(model, x, num_mc, return_kl, unroll=1, remat=True):
 def mc_forward(model: nnx.Module, x, num_mc: int, *,
                mesh: Optional[Mesh] = None, return_kl: bool = True,
                compute_kl: Optional[bool] = None,
-               presample: str = "off", bn_stats: str = "ema",
+               presample: str = "auto", bn_stats: str = "ema",
                structured: bool = False, emission: str = "vmap"):
     """Run ``num_mc`` stochastic forwards as one vmapped computation.
 
@@ -355,21 +376,28 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
     # alone. The sampler only beats XLA under threefry keys (13.1 vs
     # 11.1 ms for 10x25.5M draws); with the recommended rbg keys XLA
     # wins (7.4 ms). See ROADMAP.md "presample" entry for the full
-    # measurement trail. Default: off.
-    # 'auto' resolves to OFF: the measured conclusion above holds for
-    # every conv model tried; the sampler is explicit-opt-in only.
+    # measurement trail. Default "auto":
+    # - vmapped emission -> OFF: the measured conclusion above holds
+    #   for every conv model tried; the Pallas sampler is
+    #   explicit-opt-in only.
+    # - scan emission -> "xla": drawing all (S, ...) weights outside
+    #   the loop makes the body the pure det-form forward (measured
+    #   113.26 -> 105.31 ms on the flagship, _mc_forward_scan notes).
     #
     # presample="xla" (round 4) is a DIFFERENT animal: plain XLA
-    # normals drawn outside the vmap behind an optimization_barrier —
-    # no Pallas, no flat buffer. The barrier stops XLA fusing the
-    # weight materialization into every conv (measured ~30% conv-time
-    # tax; _presample_layers_xla docstring has the numbers).
+    # normals drawn outside the vmap/scan behind an
+    # optimization_barrier — no Pallas, no flat buffer. The barrier
+    # stops XLA fusing the weight materialization into every conv
+    # (measured ~30% conv-time tax; _presample_layers_xla docstring
+    # has the numbers).
     use_presample = presample == "on"
     presampled = []
     try:
         if emission == "scan" and num_mc > 1 and not structured:
+            scan_ps = "off" if presample == "off" else "xla"
             try:
-                result = _mc_forward_scan(model, x, num_mc, return_kl)
+                result = _mc_forward_scan(model, x, num_mc, return_kl,
+                                          presample=scan_ps)
             except NotImplementedError as e:
                 # training-mode BN: fall back to the vmapped path (same
                 # math, EMA-capable emission) — logged, not silent,

@@ -34,21 +34,26 @@ def _resnet_and_input():
     return m, x
 
 
-def _run(m, x, num_mc, emission, return_kl=True):
+def _run(m, x, num_mc, emission, return_kl=True, presample="auto"):
     gd, st = nnx.split(m)
 
     @jax.jit
     def f(st, x):
         return mc_forward(nnx.merge(gd, st), x, num_mc,
-                          return_kl=return_kl, emission=emission)
+                          return_kl=return_kl, emission=emission,
+                          presample=presample)
 
     return f(st, x)
 
 
 def test_scan_matches_vmap_draw0_and_kl():
+    # presample="off" for the bit-parity half: the default presampled
+    # scan draws all (S, ...) weights outside the loop with a different
+    # key-consumption order, so only the in-body variant shares vmap's
+    # draw-0 key stream
     m, x = _resnet_and_input()
     o_v, kl_v = _run(m, x, 4, "vmap")
-    o_s, kl_s = _run(m, x, 4, "scan")
+    o_s, kl_s = _run(m, x, 4, "scan", presample="off")
     assert o_s.shape == o_v.shape == (4, 2, 10)
     # draw 0 consumes the identical split key at count 0 in both
     # emissions -> same draw up to fusion-order float noise
@@ -56,6 +61,37 @@ def test_scan_matches_vmap_draw0_and_kl():
                                rtol=1e-4, atol=1e-3)
     # KL is a function of parameters only -> exactly equal
     np.testing.assert_allclose(float(kl_v), float(kl_s), rtol=1e-6)
+
+
+def test_scan_presampled_default_semantics():
+    # the default presampled scan (presample="auto" -> "xla"): same
+    # shapes and KL as the in-body variant, distinct independent draws,
+    # and no Presampled residue left on the layers afterwards
+    m, x = _resnet_and_input()
+    o_p, kl_p = _run(m, x, 4, "scan")  # auto -> presampled
+    o_i, kl_i = _run(m, x, 4, "scan", presample="off")
+    assert o_p.shape == o_i.shape == (4, 2, 10)
+    np.testing.assert_allclose(float(kl_p), float(kl_i), rtol=1e-6)
+    for i in range(1, 4):
+        assert np.abs(np.asarray(o_p[i] - o_p[0])).max() > 1e-3
+    for _, mod in nnx.iter_modules(m):
+        assert getattr(mod, "_presampled_w", None) is None
+        assert getattr(mod, "_presampled_b", None) is None
+
+
+def test_scan_presampled_moments_match_in_body():
+    # presampled and in-body draws come from the same posterior: the
+    # MC means over many draws must agree
+    from bayesian_torch_tpu.layers import LinearReparameterization as L
+
+    m = L(6, 4, posterior_rho_init=-2.0, rngs=nnx.Rngs(params=0, noise=1))
+    x = jnp.ones((1, 6))
+    o_p = _run(m, x, 1500, "scan", return_kl=False)
+    o_i = _run(m, x, 1500, "scan", return_kl=False, presample="off")
+    np.testing.assert_allclose(np.asarray(o_p).mean(0),
+                               np.asarray(o_i).mean(0), atol=0.1)
+    np.testing.assert_allclose(np.asarray(o_p).std(0),
+                               np.asarray(o_i).std(0), atol=0.1)
 
 
 def test_scan_draws_are_distinct():
@@ -73,6 +109,24 @@ def test_scan_moments_match_mean_forward():
     mu_fwd = np.asarray(x) @ np.asarray(m.mu_weight[...]).T + np.asarray(
         m.mu_bias[...])
     np.testing.assert_allclose(np.asarray(outs).mean(0), mu_fwd, atol=0.07)
+
+
+def test_scan_presampled_flipout():
+    # flipout under the presampled scan: _presampled_w carries the
+    # delta kernel (sigma*eps); the mu path and per-call Rademacher
+    # signs stay in-body. Draws must be distinct and centered on the
+    # mean forward.
+    from bayesian_torch_tpu.layers import LinearFlipout
+
+    m = LinearFlipout(6, 4, posterior_rho_init=-2.0,
+                      rngs=nnx.Rngs(params=0, noise=1))
+    x = jnp.ones((3, 6))
+    outs = _run(m, x, 600, "scan", return_kl=False)
+    assert outs.shape == (600, 3, 4)
+    assert np.abs(np.asarray(outs[1] - outs[0])).max() > 1e-4
+    mu_fwd = np.asarray(x) @ np.asarray(m.mu_weight[...]).T + np.asarray(
+        m.mu_bias[...])
+    np.testing.assert_allclose(np.asarray(outs).mean(0), mu_fwd, atol=0.1)
 
 
 def test_scan_deterministic_given_state():
