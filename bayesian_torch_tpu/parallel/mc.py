@@ -143,10 +143,15 @@ def _presample_layers(model, num_mc):
     return touched
 
 
-def _presample_layers_xla(model, num_mc):
+def _presample_layers_xla(model, num_mc, estimators=None):
     """Draw all layers' per-draw weights with plain XLA rbg normals and
     attach them as Presampled variables — behind a
-    ``lax.optimization_barrier``.
+    ``lax.optimization_barrier``. ``estimators`` optionally restricts
+    which estimator kinds are presampled (the scan emission passes
+    ("reparameterization",): presampling the flipout delta kernel
+    forces the layer off its fused dual-conv/iota-signs fast path and
+    measured 513 vs 257 ms on the flipout flagship — flipout samples
+    in-body there).
 
     THE BARRIER IS THE POINT: when the mu+sigma*eps weight
     materialization stays fusable, XLA can fold it into every conv's
@@ -177,6 +182,8 @@ def _presample_layers_xla(model, num_mc):
         if est is None:
             est = ("flipout" if type(layer).__name__.endswith("Flipout")
                    else "reparameterization")
+        if estimators is not None and est not in estimators:
+            continue
         is_conv = getattr(layer, "mu_kernel", None) is not None
         is_lin = getattr(layer, "mu_weight", None) is not None
         if not (is_conv or is_lin) or getattr(layer, "quant_prepare",
@@ -275,15 +282,18 @@ def _mc_forward_scan(model, x, num_mc, return_kl, unroll=1, remat=True,
     stacked output is then constraint-resharded to ('mc','data') for
     API parity. Multi-chip MC parallelism wants the vmapped emission.
 
-    ``presample="xla"`` (default) draws every layer's (S, ...) weights
-    OUTSIDE the loop (plain XLA rbg normals behind an
-    optimization_barrier, _presample_layers_xla) and scans the
-    Presampled axis; the body is then the pure det-form forward.
+    ``presample="xla"`` (default) draws every REPARAMETERIZATION
+    layer's (S, ...) weights OUTSIDE the loop (plain XLA rbg normals
+    behind an optimization_barrier, _presample_layers_xla) and scans
+    the Presampled axis; the body is then the pure det-form forward.
     Measured on the flagship (benchmarks/bench_scan_presample.py,
     RN50 MC-10 bs128): 113.26 ms in-body -> 105.31 ms presampled —
-    the residual over the 10x-det-bs128 floor (98.1 ms) is exactly the
-    known 7.4 ms rbg sampling cost. Costs S x params of HBM (510 MB at
-    RN50 MC-10); pass presample="off" to sample inside the body.
+    the residual over the 10x-det-bs128 floor (~96-98 ms) is the rbg
+    sampling cost (4.6 ms at current toolchain) + loop overhead.
+    Costs S x params of HBM (510 MB at RN50 MC-10); pass
+    presample="off" to sample inside the body. Flipout layers always
+    sample in-body: presampling the delta kernel forces them off the
+    fused dual-conv/iota-signs fast path (measured 513 vs 257 ms).
     """
     from bayesian_torch_tpu.layers.base_variational_layer import Presampled
 
@@ -296,7 +306,8 @@ def _mc_forward_scan(model, x, num_mc, return_kl, unroll=1, remat=True,
                 "not supported (use the vmapped path for training)")
     presampled = []
     if presample == "xla" and num_mc > 1:
-        presampled = _presample_layers_xla(model, num_mc)
+        presampled = _presample_layers_xla(
+            model, num_mc, estimators=("reparameterization",))
     state_axes = nnx.StateAxes({"noise": 0, Presampled: 0, ...: None})
 
     def _body(model, x):
@@ -334,12 +345,34 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
                compute_kl: Optional[bool] = None,
                presample: str = "auto", bn_stats: str = "ema",
                structured: bool = False, emission: str = "vmap"):
-    """Run ``num_mc`` stochastic forwards as one vmapped computation.
+    """Run ``num_mc`` stochastic forwards as one compiled computation.
 
     Returns ``(outputs, kl)`` with outputs stacked on a leading MC axis
     (shape (num_mc, ...)). When ``mesh`` is given, the MC axis is
     sharding-constrained to the mesh's 'mc' axis and the batch dim to
     'data', so the samples are computed on different chips.
+
+    ``emission`` selects how the MC axis is compiled:
+
+    - ``"vmap"`` (default): one vmapped program — ten draws cost like a
+      10x batch. The right form for training (BN EMA) and for sharding
+      the MC axis over a mesh.
+    - ``"scan"``: ``lax.scan`` over the draw axis; each iteration runs
+      the model's plain det-form HLO. The fastest single-chip
+      *inference* emission (RN50 MC-10 bs128: 949.7 -> 1211 imgs/s).
+      Eval-only — falls back to vmap with a RuntimeWarning on
+      training-mode BN (frozen/eval BN trains fine through it).
+
+    ``structured=True`` (Flipout inference/training) carries the MC
+    axis as channel blocks instead of vmapping — see
+    _mc_forward_structured; falls back to vmap with a warning where
+    unsupported.
+
+    ``presample`` controls where weight draws happen: ``"auto"``
+    resolves to "off" for the vmapped emission and "xla" (draws outside
+    the loop, det-form body) for the scan emission — both the measured
+    optima; "on" routes through the Pallas batch sampler (K1,
+    measured slower at flagship shapes — kept for evidence).
 
     Note the KL term is a function of parameters only, so it is the
     same scalar for every draw; it is returned unstacked. Pass

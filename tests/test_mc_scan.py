@@ -112,10 +112,10 @@ def test_scan_moments_match_mean_forward():
 
 
 def test_scan_presampled_flipout():
-    # flipout under the presampled scan: _presampled_w carries the
-    # delta kernel (sigma*eps); the mu path and per-call Rademacher
-    # signs stay in-body. Draws must be distinct and centered on the
-    # mean forward.
+    # flipout under the default scan: flipout layers are NOT presampled
+    # (the delta-kernel fast path lives in-body — parallel/mc.py
+    # measured 513 vs 257 ms); draws must be distinct and centered on
+    # the mean forward regardless.
     from bayesian_torch_tpu.layers import LinearFlipout
 
     m = LinearFlipout(6, 4, posterior_rho_init=-2.0,
