@@ -93,13 +93,14 @@ def make_eval_step(num_mc: int, mesh=None, structured: bool = False,
     (doc/PROFILE_r03.md); falls back automatically if the model's
     layers don't support it.
 
-    ``emission="auto"`` picks the scan-over-draws emission for plain
-    single-chip eval (the round-4 flagship form, doc/PROFILE_r04.md:
-    each draw runs the det-form HLO) and the vmapped emission whenever
-    a mesh or the structured path is requested (scan serializes draws,
-    so an 'mc' mesh axis gains nothing under it)."""
-    if emission == "auto":
-        emission = "vmap" if (mesh is not None or structured) else "scan"
+    ``emission="auto"`` (resolved inside ``mc_forward`` since round 5)
+    picks the scan-over-draws emission for large-workload single-chip
+    eval (the round-4 flagship form, doc/PROFILE_r04.md: each draw runs
+    the det-form HLO) and the vmapped emission whenever a mesh or the
+    structured path is requested (scan serializes draws, so an 'mc'
+    mesh axis gains nothing under it) or the per-draw work is too small
+    to amortize a sequential loop (the MC-20 LSTM measured 6.7x slower
+    scanned)."""
 
     @nnx.jit
     def eval_step(model, x):

@@ -273,6 +273,16 @@ class _BaseConvLayer(BaseVariationalLayer):
                       compute_dtype=self.compute_dtype,
                       data_format=self.data_format)
 
+        # scan-emission eps presample (parallel.mc): raw draws made
+        # outside the loop; delta/sampling algebra stays in-body so the
+        # fused fast paths are unchanged
+        if eps_k is None and getattr(self, "_presampled_eps",
+                                     None) is not None:
+            eps_k = self._presampled_eps[...]
+        if eps_b is None and getattr(self, "_presampled_eps_b",
+                                     None) is not None:
+            eps_b = self._presampled_eps_b[...]
+
         if self.estimator == "flipout":
             out = conv_ops.flipout_conv(
                 input, self.rngs.noise(),

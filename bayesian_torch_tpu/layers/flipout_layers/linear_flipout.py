@@ -158,6 +158,15 @@ class LinearFlipout(BaseVariationalLayer):
         mu_b = self.mu_bias[...] if self.mu_bias is not None else None
         rho_b = self.rho_bias[...] if self.rho_bias is not None else None
 
+        # scan-emission eps presample (parallel.mc): raw draws made
+        # outside the loop; delta build stays in the fused in-body path
+        if eps_w is None and getattr(self, "_presampled_eps",
+                                     None) is not None:
+            eps_w = self._presampled_eps[...]
+        if eps_b is None and getattr(self, "_presampled_eps_b",
+                                     None) is not None:
+            eps_b = self._presampled_eps_b[...]
+
         S = getattr(self, "_mc_structured", None)
         if S:
             out = linear_ops.flipout_linear_structured(

@@ -199,33 +199,40 @@ class _QuantizedLayerBase(BaseVariationalLayer):
             return QTensor(out_q, scale, zp)
         return q.dequantize(out_q, scale, zp)
 
-    def _sample_bias(self):
+    def _sample_bias(self, eps_b=None):
         """fp32 sampled bias; mean-only when bias came from BN fusion
         (reference quantize_linear_variational.py:188-193)."""
         if self.quantized_mu_bias is None:
             return None
         if self.quantized_sigma_bias is None:
             return self.quantized_mu_bias[...]
-        eps_b = jax.random.normal(self.rngs.noise(),
-                                  self.quantized_mu_bias.shape)
+        if eps_b is None:
+            eps_b = jax.random.normal(self.rngs.noise(),
+                                      self.quantized_mu_bias.shape)
         return (self.quantized_mu_bias[...]
                 + self.quantized_sigma_bias[...] * eps_b)
 
     # ---- forward: reparameterization ------------------------------------
 
-    def _sampled_qweight_reparam(self, normal_scale):
+    def _sampled_qweight_reparam(self, normal_scale, eps=None,
+                                 eps_b=None):
         """One quantized weight draw: (w_q int8, w_scale, bias fp32).
 
         Factored out of the forward so a serving deployment can freeze
         a draw across steps (quantization.serving.freeze_quantized_draws)
         — the per-step weight-build is the measured bottleneck of the
-        INT8 path (benchmarks/int8_analysis.py)."""
+        INT8 path (benchmarks/int8_analysis.py). ``eps``/``eps_b`` may
+        carry a leading (S, ...) draw axis (the arithmetic is
+        elementwise with scalar scales): the scan emission presamples
+        all draws' weight builds outside the loop this way
+        (parallel.mc._presample_layers_xla)."""
         kshape = self.quantized_mu_weight.shape
         # NOTE: counter-hash fused normals were tried here and LOST:
         # Box-Muller's log/cos on every weight element costs ~1.4 ms of
         # VPU time vs ~0.05 ms of rng-bit-generator HBM traffic (the
         # rbg-backed jax.random.normal is cheap on TPU)
-        eps = jax.random.normal(self.rngs.noise(), kshape)
+        if eps is None:
+            eps = jax.random.normal(self.rngs.noise(), kshape)
         s_sigma, s_mu = self._weight_scales()
 
         # legacy ao/ classes predate the calibrated quant_dict path
@@ -238,7 +245,7 @@ class _QuantizedLayerBase(BaseVariationalLayer):
                          eps_q, s0, s1, z1)
             w_q = q.qadd(w_q, s1, self.quantized_mu_weight[...], s_mu,
                          s2, z2)
-            return w_q, s2, self._sample_bias()
+            return w_q, s2, self._sample_bias(eps_b)
 
         # uncalibrated default path (reference :202-219)
         eps_q = q.quantize_int8(eps, normal_scale)
@@ -253,16 +260,31 @@ class _QuantizedLayerBase(BaseVariationalLayer):
                      else jnp.maximum(new_scale, s_mu))
         w_q = q.qadd(w_q, new_scale, self.quantized_mu_weight[...], s_mu,
                      add_scale, 0)
-        return w_q, add_scale, self._sample_bias()
+        return w_q, add_scale, self._sample_bias(eps_b)
 
     def _forward_reparam(self, input, normal_scale, default_scale,
                          default_zero_point):
         frozen = getattr(self, "_frozen_w", None)
+        pres = getattr(self, "_presampled_qw", None)
         if frozen is not None:
             w_q = frozen[...]
             w_scale = self._frozen_wscale[...]
             bias = self._frozen_bias[...] \
                 if self._frozen_bias is not None else None
+        elif pres is not None:
+            # scan-emission presample: this draw's pre-built quantized
+            # weight (parallel.mc._presample_layers_xla); the scale is
+            # draw-invariant (static per layer)
+            w_q = pres[...]
+            w_scale = self._presampled_qscale
+            if not isinstance(w_scale, float):
+                w_scale = w_scale[...]
+            # bias: presampled when it has a sigma (per-draw); a
+            # BN-folded mean-only bias is draw-invariant and comes from
+            # the plain path
+            bias = (self._presampled_qbias[...]
+                    if getattr(self, "_presampled_qbias", None)
+                    is not None else self._sample_bias())
         else:
             w_q, w_scale, bias = self._sampled_qweight_reparam(
                 normal_scale)

@@ -143,7 +143,8 @@ def _presample_layers(model, num_mc):
     return touched
 
 
-def _presample_layers_xla(model, num_mc, estimators=None):
+def _presample_layers_xla(model, num_mc, estimators=None,
+                          flipout_eps=False):
     """Draw all layers' per-draw weights with plain XLA rbg normals and
     attach them as Presampled variables — behind a
     ``lax.optimization_barrier``. ``estimators`` optionally restricts
@@ -177,12 +178,37 @@ def _presample_layers_xla(model, num_mc, estimators=None):
 
     entries = []
     tensors = []
+    qentries = []  # quantized layers: (layer, w_q (S,..), scale, b|None)
     for layer in iter_bayesian_layers(model):
         est = getattr(layer, "estimator", None)
         if est is None:
             est = ("flipout" if type(layer).__name__.endswith("Flipout")
                    else "reparameterization")
         if estimators is not None and est not in estimators:
+            continue
+        if (getattr(layer, "quantized_mu_weight", None) is not None
+                and est == "reparameterization"
+                and getattr(layer, "_frozen_w", None) is None):
+            # INT8 layer: presample the quantized weight BUILD (eps
+            # draw + quantize + qmul + qadd) for all S draws at once —
+            # the build is the measured INT8 bottleneck
+            # (benchmarks/int8_analysis.py) and runs serially inside
+            # the scan body otherwise. normal_scale matches the
+            # forward default (reference quantize_linear_variational
+            # .py:202-219; unused on the calibrated quant_dict path).
+            kshape = layer.quantized_mu_weight.shape
+            eps = jax.random.normal(layer.rngs.noise(),
+                                    (num_mc,) + kshape)
+            eps_b = None
+            if getattr(layer, "quantized_sigma_bias", None) is not None:
+                eps_b = jax.random.normal(
+                    layer.rngs.noise(),
+                    (num_mc,) + layer.quantized_mu_bias.shape)
+            w_q, w_scale, bias = layer._sampled_qweight_reparam(
+                6 / 255, eps=eps, eps_b=eps_b)
+            if eps_b is None:
+                bias = None  # draw-invariant; layer re-derives it
+            qentries.append((layer, w_q, w_scale, bias))
             continue
         is_conv = getattr(layer, "mu_kernel", None) is not None
         is_lin = getattr(layer, "mu_weight", None) is not None
@@ -193,6 +219,25 @@ def _presample_layers_xla(model, num_mc, estimators=None):
         rho = layer.rho_kernel[...] if is_conv else layer.rho_weight[...]
         sigma = sigma_from_rho(rho)
         dtype = layer.compute_dtype or mu.dtype
+        if est == "flipout" and flipout_eps:
+            # presample RAW eps only (in the compute dtype, matching the
+            # in-body draw at flipout_conv/linear: ops/conv.py:462-463):
+            # the layer's fast path (fused dual conv + iota signs) stays
+            # intact and builds delta = sigma*eps in-body — presampling
+            # DELTA instead forces the slow _presampled_w branch
+            # (measured 513 vs 257 ms on the flipout flagship, round 4)
+            eps = jax.random.normal(layer.rngs.noise(),
+                                    (num_mc,) + mu.shape, dtype)
+            b = None
+            if layer.mu_bias is not None:
+                b = jax.random.normal(
+                    layer.rngs.noise(),
+                    (num_mc,) + layer.mu_bias.shape, dtype)
+            entries.append((layer, b is not None, "eps"))
+            tensors.append(eps)
+            if b is not None:
+                tensors.append(b)
+            continue
         eps = jax.random.normal(layer.rngs.noise(),
                                 (num_mc,) + mu.shape)
         w = (sigma * eps if est == "flipout"
@@ -204,23 +249,102 @@ def _presample_layers_xla(model, num_mc, estimators=None):
             sigma_b = sigma_from_rho(layer.rho_bias[...])
             b = (sigma_b * eps_b if est == "flipout"
                  else layer.mu_bias[...] + sigma_b * eps_b)
-        entries.append((layer, b is not None))
+        entries.append((layer, b is not None, "w"))
         tensors.append(w)
         if b is not None:
             tensors.append(b)
-    if not entries:
+    if not entries and not qentries:
         return []
-    tensors = jax.lax.optimization_barrier(tensors)
+    qt = []
+    for _, w_q, _, bias in qentries:
+        qt.append(w_q)
+        if bias is not None:
+            qt.append(bias)
+    tensors = jax.lax.optimization_barrier(tensors + qt)
     it = iter(tensors)
     touched = []
-    for layer, has_b in entries:
-        layer._presampled_w = Presampled(next(it))
-        attrs = ["_presampled_w"]
+    for layer, has_b, kind in entries:
+        w_attr = "_presampled_w" if kind == "w" else "_presampled_eps"
+        b_attr = "_presampled_b" if kind == "w" else "_presampled_eps_b"
+        setattr(layer, w_attr, Presampled(next(it)))
+        attrs = [w_attr]
         if has_b:
-            layer._presampled_b = Presampled(next(it))
-            attrs.append("_presampled_b")
+            setattr(layer, b_attr, Presampled(next(it)))
+            attrs.append(b_attr)
+        touched.append((layer, attrs))
+    for layer, _, w_scale, bias in qentries:
+        layer._presampled_qw = Presampled(next(it))
+        if not isinstance(w_scale, float):
+            # rare fallback (restored ckpt without static scales): keep
+            # the traced scalar in mapped state, one copy per draw
+            w_scale = Presampled(jnp.broadcast_to(w_scale, (num_mc,)))
+        layer._presampled_qscale = w_scale
+        attrs = ["_presampled_qw", "_presampled_qscale"]
+        if bias is not None:
+            layer._presampled_qbias = Presampled(next(it))
+            attrs.append("_presampled_qbias")
         touched.append((layer, attrs))
     return touched
+
+
+# auto-emission size heuristic (ADVICE r4): scan serializes draws, so it
+# only wins when one draw's work fills the chip. Proxy for per-draw work:
+# batch_size x total-Bayesian-param-count. Measured anchors (v5e):
+# LSTM bs128 x 66k params = 8.4e6 -> vmap wins 6.7x (1.43 vs 9.63 ms);
+# CIFAR RN20 bs1000 x 0.27M = 2.7e8 -> scan wins (54.3 vs 86.1 ms);
+# RN50 bs128 x 25.5M = 3.3e9 -> scan wins (105.7 vs 134.8 ms).
+# Threshold sits a decade above the measured loser and a decade below
+# the smallest measured winner.
+_SCAN_MIN_WORK = 3e7
+
+
+def _resolve_emission(model, x, num_mc, mesh, structured):
+    """Resolve emission='auto' to the measured-optimal emission.
+
+    vmap when: a mesh is given (scan serializes draws — an 'mc' axis
+    gains nothing under it), the structured path was requested,
+    num_mc <= 1, any module is in training mode (BN EMA is vmap-shaped,
+    and frozen-BN scan training measured slower: 226.7 vs 207.8 ms),
+    or the per-draw work is too small to amortize a sequential loop
+    (see _SCAN_MIN_WORK). scan otherwise — the measured single-chip
+    inference optimum (doc/PROFILE_r04.md).
+    """
+    if mesh is not None or structured or num_mc <= 1:
+        return "vmap"
+    n_params = 0
+    for _, mod in nnx.iter_modules(model):
+        if getattr(mod, "training", False):
+            return "vmap"
+        for attr in ("mu_kernel", "mu_weight", "quantized_mu_weight"):
+            v = getattr(mod, attr, None)
+            if v is not None:
+                n_params += v.size
+    batch = x.shape[0] if getattr(x, "ndim", 0) else 1
+    if batch * n_params < _SCAN_MIN_WORK:
+        return "vmap"
+    return "scan"
+
+
+def _forward_out_shapedtype(model, x):
+    """Abstract (shape, dtype) of one forward's output (no FLOPs)."""
+    graphdef, state = nnx.split(model)
+
+    def f(state, x):
+        out = nnx.merge(graphdef, state)(x)
+        return out[0] if isinstance(out, tuple) else out
+
+    return jax.eval_shape(f, state, x)
+
+
+def _reshard_mc(result, mesh, return_kl):
+    """Constraint-reshard a (outs, kl)|outs result's MC/batch axes onto
+    the mesh (shared by the scan/structured/vmapped returns)."""
+    if mesh is None:
+        return result
+    outs = result[0] if return_kl else result
+    outs = jax.lax.with_sharding_constraint(
+        outs, NamedSharding(mesh, P("mc", "data")))
+    return (outs, result[1]) if return_kl else outs
 
 
 def _mc_forward_structured(model, x, num_mc, return_kl):
@@ -254,7 +378,7 @@ def _mc_forward_structured(model, x, num_mc, return_kl):
 
 
 def _mc_forward_scan(model, x, num_mc, return_kl, unroll=1, remat=True,
-                     presample="xla"):
+                     presample="xla", reduce=None, remat_policy=None):
     """``lax.scan`` over the draw axis: each iteration runs the plain
     4-D det-form forward with that draw's noise stream.
 
@@ -304,17 +428,43 @@ def _mc_forward_scan(model, x, num_mc, return_kl, unroll=1, remat=True,
                 "mc_forward(emission='scan') is eval-only: BN "
                 "running-stat updates under a scanned draw axis are "
                 "not supported (use the vmapped path for training)")
+    acc0 = None
+    if reduce == "mean":
+        # predictive-mean accumulator: probe the forward's output shape
+        # abstractly BEFORE presampling attaches (S, ...) variables.
+        out_sd = _forward_out_shapedtype(model, x)
+        acc0 = jnp.zeros(out_sd.shape, jnp.float32)
     presampled = []
     if presample == "xla" and num_mc > 1:
+        # reparam layers: full (S, ...) weight draws outside the loop;
+        # flipout layers: RAW eps only (delta stays in the fused
+        # in-body path); quantized reparam layers: the full quantized
+        # weight build
         presampled = _presample_layers_xla(
-            model, num_mc, estimators=("reparameterization",))
+            model, num_mc, estimators=("reparameterization", "flipout"),
+            flipout_eps=True)
     state_axes = nnx.StateAxes({"noise": 0, Presampled: 0, ...: None})
 
-    def _body(model, x):
-        out = model(x)
-        if not isinstance(out, tuple):
-            out = (out, jnp.asarray(0.0))
-        return x, (out[0], jnp.asarray(out[1], jnp.float32))
+    if reduce == "mean":
+        # Accumulate the predictive mean in the scan carry instead of
+        # stacking a (num_mc, B, ...) output (VERDICT r4 #1b: the
+        # stacked output costs a per-iteration dynamic-update-slice +
+        # a post-loop reshard the mean consumer immediately reduces
+        # away). Output shape (B, ...); KL is draw-invariant, so the
+        # last iteration's scalar is THE value.
+        def _body(model, carry):
+            x, acc = carry
+            out = model(x)
+            if not isinstance(out, tuple):
+                out = (out, jnp.asarray(0.0))
+            acc = acc + out[0].astype(acc.dtype) / num_mc
+            return (x, acc), jnp.asarray(out[1], jnp.float32)
+    else:
+        def _body(model, x):
+            out = model(x)
+            if not isinstance(out, tuple):
+                out = (out, jnp.asarray(0.0))
+            return x, (out[0], jnp.asarray(out[1], jnp.float32))
 
     if remat:
         # Differentiating through the scan would otherwise save every
@@ -322,14 +472,22 @@ def _mc_forward_scan(model, x, num_mc, return_kl, unroll=1, remat=True,
         # remat re-runs each draw's forward in its backward instead —
         # the standard scan-over-layers recipe. Free for eval (remat
         # only changes the VJP; the primal HLO is identical).
-        _body = nnx.remat(_body)
+        # ``remat_policy`` selects a SELECTIVE checkpoint policy (e.g.
+        # jax.checkpoint_policies.save_only_these_names('conv_out'):
+        # conv outputs are checkpoint_name'd in ops/conv.py, so the
+        # backward recomputes only the cheap BN/ReLU/add elementwise
+        # between convs instead of re-running each draw's full forward).
+        _body = nnx.remat(_body, policy=remat_policy)
 
     _run = nnx.split_rngs(splits=num_mc, only="noise")(
         nnx.scan(_body, in_axes=(state_axes, nnx.Carry),
                  out_axes=(nnx.Carry, 0), unroll=unroll))
 
     try:
-        _, (outs, kls) = _run(model, x)
+        if reduce == "mean":
+            (_, outs), kls = _run(model, (x, acc0))
+        else:
+            _, (outs, kls) = _run(model, x)
     finally:
         for layer, attrs in presampled:
             for a in attrs:
@@ -344,7 +502,8 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
                mesh: Optional[Mesh] = None, return_kl: bool = True,
                compute_kl: Optional[bool] = None,
                presample: str = "auto", bn_stats: str = "ema",
-               structured: bool = False, emission: str = "vmap"):
+               structured: bool = False, emission: str = "auto",
+               reduce: Optional[str] = None, remat_policy=None):
     """Run ``num_mc`` stochastic forwards as one compiled computation.
 
     Returns ``(outputs, kl)`` with outputs stacked on a leading MC axis
@@ -354,7 +513,13 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
 
     ``emission`` selects how the MC axis is compiled:
 
-    - ``"vmap"`` (default): one vmapped program — ten draws cost like a
+    - ``"auto"`` (default): the measured optimum — "scan" for
+      large-workload single-chip inference, "vmap" whenever a mesh or
+      the structured path is requested, any module is in training mode,
+      num_mc <= 1, or the per-draw work is too small to amortize a
+      sequential loop (batch x Bayesian-params < 3e7; the MC-20 LSTM
+      measured 6.7x slower scanned). See _resolve_emission.
+    - ``"vmap"``: one vmapped program — ten draws cost like a
       10x batch. The right form for training (BN EMA) and for sharding
       the MC axis over a mesh.
     - ``"scan"``: ``lax.scan`` over the draw axis; each iteration runs
@@ -362,6 +527,20 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
       *inference* emission (RN50 MC-10 bs128: 949.7 -> 1211 imgs/s).
       Eval-only — falls back to vmap with a RuntimeWarning on
       training-mode BN (frozen/eval BN trains fine through it).
+
+    ``reduce="mean"`` returns the predictive mean over draws (shape
+    (batch, ...)) instead of the stacked (num_mc, ...) outputs. Under
+    the scan emission the mean accumulates in the loop carry, skipping
+    the stacked-output materialization entirely — the cheapest form
+    when only the MC average is consumed (the evaluate() path).
+
+    ``remat_policy`` (scan emission only) selects a selective
+    checkpoint policy for the scan body's VJP, e.g.
+    ``jax.checkpoint_policies.save_only_these_names('conv_out')`` keeps
+    every conv output (named in ops/conv.py) and recomputes only the
+    BN/ReLU/add elementwise between them in the backward — the
+    middle ground between full remat (re-run each draw's forward) and
+    no remat (save all draws' activations, OOM at RN50 MC-4 bs128).
 
     ``structured=True`` (Flipout inference/training) carries the MC
     axis as channel blocks instead of vmapping — see
@@ -392,6 +571,16 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
     - ``"freeze"``: leave running stats untouched (round-1 behavior;
       callers then refresh stats themselves).
     """
+    if emission not in ("auto", "vmap", "scan"):
+        raise ValueError(
+            f"mc_forward: unknown emission {emission!r} "
+            "(expected 'auto', 'vmap' or 'scan')")
+    if reduce not in (None, "mean"):
+        raise ValueError(
+            f"mc_forward: unknown reduce {reduce!r} "
+            "(expected None or 'mean')")
+    if emission == "auto":
+        emission = _resolve_emission(model, x, num_mc, mesh, structured)
     if compute_kl is None:
         compute_kl = return_kl
     kl_off = []
@@ -427,10 +616,24 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
     presampled = []
     try:
         if emission == "scan" and num_mc > 1 and not structured:
+            if presample == "on":
+                # the Pallas batch sampler only feeds the vmapped
+                # emission's Presampled layout; honor the caller's
+                # intent (presampled draws) via the XLA path, loudly
+                # (ADVICE r4).
+                import warnings
+
+                warnings.warn(
+                    "mc_forward: presample='on' (Pallas batch sampler) "
+                    "is unsupported under emission='scan'; using "
+                    "presample='xla' instead", RuntimeWarning,
+                    stacklevel=2)
             scan_ps = "off" if presample == "off" else "xla"
             try:
                 result = _mc_forward_scan(model, x, num_mc, return_kl,
-                                          presample=scan_ps)
+                                          presample=scan_ps,
+                                          reduce=reduce,
+                                          remat_policy=remat_policy)
             except NotImplementedError as e:
                 # training-mode BN: fall back to the vmapped path (same
                 # math, EMA-capable emission) — logged, not silent,
@@ -442,12 +645,9 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
                     f"vmapped path: {e}", RuntimeWarning, stacklevel=2)
                 result = None
             if result is not None:
-                if mesh is not None:
-                    outs = result[0] if return_kl else result
-                    outs = jax.lax.with_sharding_constraint(
-                        outs, NamedSharding(mesh, P("mc", "data")))
-                    result = (outs, result[1]) if return_kl else outs
-                return result
+                if reduce is not None:
+                    return result  # (B, ...) mean: no MC axis to reshard
+                return _reshard_mc(result, mesh, return_kl)
         if structured and num_mc > 1:
             try:
                 result = _mc_forward_structured(model, x, num_mc,
@@ -464,24 +664,31 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
                     f"vmapped path: {e}", RuntimeWarning, stacklevel=2)
                 result = None
             if result is not None:
-                if mesh is not None:
-                    outs = result[0] if return_kl else result
-                    outs = jax.lax.with_sharding_constraint(
-                        outs, NamedSharding(mesh, P("mc", "data")))
-                    result = (outs, result[1]) if return_kl else outs
-                return result
+                result = _reshard_mc(result, mesh, return_kl)
+                return _reduce_mc(result, reduce, return_kl)
         if presample == "xla" and num_mc > 1:
             presampled = _presample_layers_xla(model, num_mc)
         elif use_presample:
             presampled = _presample_layers(model, num_mc)
-        return _mc_forward_inner(model, x, num_mc, mesh, return_kl,
-                                 bn_stats)
+        result = _mc_forward_inner(model, x, num_mc, mesh, return_kl,
+                                   bn_stats)
+        return _reduce_mc(result, reduce, return_kl)
     finally:
         for layer, attrs in presampled:
             for a in attrs:
                 delattr(layer, a)
         for mod in kl_off:
             mod.compute_kl = True
+
+
+def _reduce_mc(result, reduce, return_kl):
+    """Apply reduce='mean' over the leading MC axis of a stacked
+    result (the scan emission reduces in-carry instead)."""
+    if reduce is None:
+        return result
+    outs = result[0] if return_kl else result
+    outs = outs.astype(jnp.float32).mean(axis=0)
+    return (outs, result[1]) if return_kl else outs
 
 
 def _apply_bn_ema(mod):

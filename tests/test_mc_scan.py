@@ -195,6 +195,126 @@ def test_scan_num_mc_1_falls_through():
     assert kl.shape == ()
 
 
+def test_flipout_presampled_eps_injection_exact():
+    """_presampled_eps (scan-emission raw-eps presample, VERDICT r4 #2)
+    is consumed exactly like an explicit eps_w/eps_k argument — the
+    layer stays on its fused in-body path either way."""
+    import numpy as np
+
+    from bayesian_torch_tpu.layers import Conv2dFlipout, LinearFlipout
+    from bayesian_torch_tpu.layers.base_variational_layer import Presampled
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(3, 6).astype(np.float32))
+    eps_w = jnp.asarray(rs.randn(4, 6).astype(np.float32))
+    eps_b = jnp.asarray(rs.randn(4).astype(np.float32))
+    s_in = jnp.sign(jnp.asarray(rs.randn(3, 6).astype(np.float32)))
+    s_out = jnp.sign(jnp.asarray(rs.randn(3, 4).astype(np.float32)))
+
+    m = LinearFlipout(6, 4, posterior_rho_init=-2.0,
+                      rngs=nnx.Rngs(params=0, noise=1))
+    o_arg = m(x, return_kl=False, eps_w=eps_w, eps_b=eps_b,
+              sign_in=s_in, sign_out=s_out)
+    m._presampled_eps = Presampled(eps_w)
+    m._presampled_eps_b = Presampled(eps_b)
+    o_attr = m(x, return_kl=False, sign_in=s_in, sign_out=s_out)
+    del m._presampled_eps, m._presampled_eps_b
+    np.testing.assert_array_equal(np.asarray(o_arg), np.asarray(o_attr))
+
+    xc = jnp.asarray(rs.randn(2, 8, 8, 3).astype(np.float32))
+    eps_k = jnp.asarray(rs.randn(4, 3, 3, 3).astype(np.float32))
+    si = jnp.sign(jnp.asarray(rs.randn(2, 8, 8, 3).astype(np.float32)))
+    so = jnp.sign(jnp.asarray(rs.randn(2, 8, 8, 4).astype(np.float32)))
+    c = Conv2dFlipout(3, 4, 3, padding=1, posterior_rho_init=-2.0,
+                      bias=False, data_format="NHWC",
+                      rngs=nnx.Rngs(params=0, noise=1))
+    o_arg = c(xc, return_kl=False, eps_k=eps_k, sign_in=si, sign_out=so)
+    c._presampled_eps = Presampled(eps_k)
+    o_attr = c(xc, return_kl=False, sign_in=si, sign_out=so)
+    del c._presampled_eps
+    np.testing.assert_array_equal(np.asarray(o_arg), np.asarray(o_attr))
+
+
+def test_flipout_scan_presample_runs_and_cleans_up():
+    from bayesian_torch_tpu.layers import Conv2dFlipout, LinearFlipout
+
+    class Net(nnx.Module):
+        def __init__(self, rngs):
+            self.conv = Conv2dFlipout(3, 8, 3, padding=1,
+                                      data_format="NHWC", rngs=rngs)
+            self.fc = LinearFlipout(8 * 8 * 8, 10, rngs=rngs)
+
+        def __call__(self, x):
+            h, k1 = self.conv(x)
+            h = h.reshape(h.shape[0], -1)
+            o, k2 = self.fc(h)
+            return o, k1 + k2
+
+    m = Net(nnx.Rngs(params=0, noise=1))
+    m.eval()
+    x = jnp.ones((2, 8, 8, 3))
+    outs = mc_forward(m, x, 4, return_kl=False, emission="scan")
+    assert outs.shape == (4, 2, 10)
+    assert np.abs(np.asarray(outs[0] - outs[1])).max() > 0
+    assert getattr(m.conv, "_presampled_eps", None) is None
+    assert getattr(m.fc, "_presampled_eps", None) is None
+
+
+def test_scan_int8_presampled_weight_build():
+    """INT8 layers under the scan emission presample the quantized
+    weight BUILD (VERDICT r4 #3): with sigma -> 0 the built weight is
+    draw-independent, so the presampled-scan output exactly equals the
+    in-body (presample='off') output; and with real sigma the draws
+    stay distinct."""
+    import numpy as np
+
+    from bayesian_torch_tpu.layers import (Conv2dReparameterization,
+                                           LinearReparameterization)
+    from bayesian_torch_tpu.quantization import convert, prepare
+
+    class Net(nnx.Module):
+        def __init__(self, rngs, rho=-100.0):
+            self.conv = Conv2dReparameterization(
+                3, 8, 3, padding=1, posterior_rho_init=rho, rngs=rngs)
+            self.fc = LinearReparameterization(
+                8 * 8 * 8, 10, posterior_rho_init=rho, rngs=rngs)
+
+        def __call__(self, x):
+            h, k1 = self.conv(x)
+            h = h.reshape(h.shape[0], -1)
+            o, k2 = self.fc(h)
+            return o, k1 + k2
+
+    def build(rho):
+        net = Net(nnx.Rngs(params=0, noise=1), rho=rho)
+        xcal = jnp.asarray(np.random.RandomState(0).randn(
+            4, 3, 8, 8).astype(np.float32))
+        prepare(net)
+        for i in range(3):
+            net(xcal + 0.1 * i)
+        convert(net)
+        return net
+
+    x = jnp.asarray(np.random.RandomState(1).randn(
+        4, 3, 8, 8).astype(np.float32))
+
+    # sigma ~ 0: presampled build == in-body build exactly
+    o_pre = np.asarray(mc_forward(build(-100.0), x, 3, return_kl=False,
+                                  emission="scan"))
+    o_off = np.asarray(mc_forward(build(-100.0), x, 3, return_kl=False,
+                                  emission="scan", presample="off"))
+    assert o_pre.shape == (3, 4, 10)
+    np.testing.assert_array_equal(o_pre, o_off)
+
+    # real sigma: draws distinct, presample attrs cleaned up
+    net = build(-2.0)
+    outs = np.asarray(mc_forward(net, x, 3, return_kl=False,
+                                 emission="scan"))
+    assert np.abs(outs[0] - outs[1]).max() > 0
+    assert getattr(net.conv, "_presampled_qw", None) is None
+    assert not hasattr(net.conv, "_presampled_qscale")
+
+
 def test_scan_sharded_output():
     mesh = make_mesh(mc=4, data=2)
     m = LinearReparameterization(6, 4, rngs=nnx.Rngs(params=0, noise=1))
