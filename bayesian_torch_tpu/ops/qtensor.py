@@ -31,6 +31,16 @@ import jax
 import jax.numpy as jnp
 
 
+# Fully-int8 residual adds for DIFFERING operand scales (the calibrated
+# path): when True, QTensor + QTensor requantizes both operands and adds
+# in uint8 (QTensor.add_q — the reference's add_relu FloatFunctional
+# semantics) instead of falling back to an exact fp32 add. Same-scale
+# adds are always exact uint8 regardless. Opt-in because the fp32
+# fallback is strictly MORE accurate; flip it (or call add_q with a
+# calibrated output scale) to keep the whole residual stream in uint8.
+INT8_RESIDUAL_ADD = False
+
+
 @jax.tree_util.register_pytree_node_class
 class QTensor:
     """uint8 activation + static (scale, zero_point) quant params."""
@@ -86,6 +96,25 @@ class QTensor:
         return QTensor(jnp.clip(r, 0, 255).astype(jnp.uint8), scale, zp)
 
     # -- arithmetic ----------------------------------------------------
+    def add_q(self, other: "QTensor", scale: float = None,
+              zp: int = None) -> "QTensor":
+        """uint8 add with requant — the reference's FloatFunctional
+        add semantics (ao/quantization/quantize.py:49-131 wires ResNet
+        skip-connections through quantized add_relu, so the residual
+        sum never leaves uint8). Differing operand scales requantize
+        into ``scale``/``zp``; the default output scale ``sa + sb``
+        exactly covers the sum's representable range (a calibrated
+        deployment passes the observed output scale instead)."""
+        if scale is None:
+            scale = self.scale + other.scale
+        if zp is None:
+            zp = self.zp
+        a = (self.q.astype(jnp.float32) - self.zp) * (self.scale / scale)
+        b = (other.q.astype(jnp.float32) - other.zp) * (other.scale
+                                                        / scale)
+        s = jnp.round(a + b) + zp
+        return QTensor(jnp.clip(s, 0, 255).astype(jnp.uint8), scale, zp)
+
     def __add__(self, other):
         if isinstance(other, QTensor):
             if other.scale == self.scale and other.zp == self.zp:
@@ -95,6 +124,8 @@ class QTensor:
                      - self.zp)
                 return QTensor(jnp.clip(s, 0, 255).astype(jnp.uint8),
                                self.scale, self.zp)
+            if INT8_RESIDUAL_ADD:
+                return self.add_q(other)
             return self.dequantize() + other.dequantize()
         return self.dequantize() + other
 

@@ -35,16 +35,50 @@ def log_sigma_from_rho(rho):
     return jnp.where(rho < -20.0, rho, jnp.log(jax.nn.softplus(safe)))
 
 
+def squeezed_shape(shape):
+    """``shape`` with size-1 dims removed (for generation/elementwise
+    iteration spaces; see normal_squeezed)."""
+    s = tuple(d for d in shape if d != 1)
+    return s if s else (1,)
+
+
+def normal_squeezed(key, shape, dtype=jnp.float32):
+    """N(0,1) draws of ``shape``, GENERATED at the squeezed shape.
+
+    jax.random assigns bits by flat index, so the values are identical
+    to ``jax.random.normal(key, shape)`` — but generation fusions at
+    degenerate shapes like a 1x1 conv kernel's (S, O, I, 1, 1) run
+    ~14x slower on v5e than the same draw count at (S, O, I)
+    (benchmarks/bench_gen_shapes.py / bench_r05_flagship.py variant j:
+    the RN50 MC-10 presample drops 13.1 -> 3.5 ms). Pure perf; zero
+    semantic change.
+    """
+    s = squeezed_shape(shape)
+    if len(s) == len(shape):
+        return jax.random.normal(key, shape, dtype)
+    return jax.random.normal(key, s, dtype).reshape(shape)
+
+
 def sample_gaussian_weight(key, mu, rho, eps=None):
     """W = mu + softplus(rho) * eps, eps ~ N(0, I).
 
     ``eps`` may be injected for golden-value tests (the reference
     equivalently allows presetting the eps buffer).
     Returns (weight, sigma).
+
+    The sampling algebra runs at the SQUEEZED shape (size-1 dims
+    removed) when a fresh eps is drawn — see normal_squeezed: identical
+    values, ~14x faster generation fusions at 1x1-conv kernel shapes.
     """
     sigma = sigma_from_rho(rho)
+    shp = jnp.shape(mu)
+    s = squeezed_shape(shp)
+    if eps is None and len(s) != len(shp):
+        eps_s = jax.random.normal(key, s, dtype=jnp.result_type(mu))
+        w = mu.reshape(s) + sigma.reshape(s) * eps_s
+        return w.reshape(shp), sigma
     if eps is None:
-        eps = jax.random.normal(key, jnp.shape(mu), dtype=jnp.result_type(mu))
+        eps = jax.random.normal(key, shp, dtype=jnp.result_type(mu))
     return mu + sigma * eps, sigma
 
 

@@ -50,7 +50,7 @@ def mc_vmap(num_mc: int):
     return decorator
 
 
-def _presample_layers(model, num_mc):
+def _presample_layers(model, num_mc, estimators=None):
     """Draw all layers' MC weight sets with the fused Pallas batch
     sampler (K1) and attach them as Presampled variables. Returns the
     list of (layer, attr_names) to clean up.
@@ -87,6 +87,8 @@ def _presample_layers(model, num_mc):
         if est is None:
             est = ("flipout" if type(layer).__name__.endswith("Flipout")
                    else "reparameterization")
+        if estimators is not None and est not in estimators:
+            continue
         is_conv = getattr(layer, "mu_kernel", None) is not None
         is_lin = getattr(layer, "mu_weight", None) is not None
         if not (is_conv or is_lin) or getattr(layer, "quant_prepare",
@@ -144,7 +146,7 @@ def _presample_layers(model, num_mc):
 
 
 def _presample_layers_xla(model, num_mc, estimators=None,
-                          flipout_eps=False):
+                          flipout_eps=False, generator="rbg"):
     """Draw all layers' per-draw weights with plain XLA rbg normals and
     attach them as Presampled variables — behind a
     ``lax.optimization_barrier``. ``estimators`` optionally restricts
@@ -174,7 +176,19 @@ def _presample_layers_xla(model, num_mc, estimators=None,
     """
     from bayesian_torch_tpu.layers.base_variational_layer import Presampled
     from bayesian_torch_tpu.models.dnn_to_bnn import iter_bayesian_layers
-    from bayesian_torch_tpu.ops.sampling import sigma_from_rho
+    from bayesian_torch_tpu.ops.sampling import (normal_fused,
+                                                 sigma_from_rho,
+                                                 squeezed_shape)
+
+    if generator == "hash":
+        # counter-hash Box-Muller (ops/sampling.normal_fused): full-f32
+        # N(0,1) quality from 24-bit uniforms, ~5.9-sigma tails, pure
+        # elementwise — measured 9.2 vs 13.1 ms isolated at RN50 MC-10
+        # against the rbg+erfinv path (doc/PROFILE_r05.md)
+        def _normal(key, shape, dtype=jnp.float32):
+            return normal_fused(key, shape, dtype)
+    else:
+        _normal = jax.random.normal
 
     entries = []
     tensors = []
@@ -197,11 +211,12 @@ def _presample_layers_xla(model, num_mc, estimators=None,
             # forward default (reference quantize_linear_variational
             # .py:202-219; unused on the calibrated quant_dict path).
             kshape = layer.quantized_mu_weight.shape
-            eps = jax.random.normal(layer.rngs.noise(),
-                                    (num_mc,) + kshape)
+            ks = squeezed_shape(kshape)
+            eps = _normal(layer.rngs.noise(),
+                          (num_mc,) + ks).reshape((num_mc,) + kshape)
             eps_b = None
             if getattr(layer, "quantized_sigma_bias", None) is not None:
-                eps_b = jax.random.normal(
+                eps_b = _normal(
                     layer.rngs.noise(),
                     (num_mc,) + layer.quantized_mu_bias.shape)
             w_q, w_scale, bias = layer._sampled_qweight_reparam(
@@ -219,6 +234,7 @@ def _presample_layers_xla(model, num_mc, estimators=None,
         rho = layer.rho_kernel[...] if is_conv else layer.rho_weight[...]
         sigma = sigma_from_rho(rho)
         dtype = layer.compute_dtype or mu.dtype
+        ks = squeezed_shape(mu.shape)  # 1x1-kernel generation-shape fix
         if est == "flipout" and flipout_eps:
             # presample RAW eps only (in the compute dtype, matching the
             # in-body draw at flipout_conv/linear: ops/conv.py:462-463):
@@ -226,11 +242,11 @@ def _presample_layers_xla(model, num_mc, estimators=None,
             # intact and builds delta = sigma*eps in-body — presampling
             # DELTA instead forces the slow _presampled_w branch
             # (measured 513 vs 257 ms on the flipout flagship, round 4)
-            eps = jax.random.normal(layer.rngs.noise(),
-                                    (num_mc,) + mu.shape, dtype)
+            eps = _normal(layer.rngs.noise(), (num_mc,) + ks,
+                          dtype).reshape((num_mc,) + mu.shape)
             b = None
             if layer.mu_bias is not None:
-                b = jax.random.normal(
+                b = _normal(
                     layer.rngs.noise(),
                     (num_mc,) + layer.mu_bias.shape, dtype)
             entries.append((layer, b is not None, "eps"))
@@ -238,13 +254,17 @@ def _presample_layers_xla(model, num_mc, estimators=None,
             if b is not None:
                 tensors.append(b)
             continue
-        eps = jax.random.normal(layer.rngs.noise(),
-                                (num_mc,) + mu.shape)
-        w = (sigma * eps if est == "flipout"
-             else mu + sigma * eps).astype(dtype)
+        # generation AND algebra at the squeezed shape (identical
+        # values, ~14x faster fusions at (S, O, I, 1, 1) shapes —
+        # doc/PROFILE_r05.md; benchmarks/bench_r05_flagship.py variant j)
+        eps = _normal(layer.rngs.noise(), (num_mc,) + ks)
+        mu_s, sigma_s = mu.reshape(ks), sigma.reshape(ks)
+        w = (sigma_s * eps if est == "flipout"
+             else mu_s + sigma_s * eps).astype(dtype).reshape(
+                 (num_mc,) + mu.shape)
         b = None
         if layer.mu_bias is not None:
-            eps_b = jax.random.normal(layer.rngs.noise(),
+            eps_b = _normal(layer.rngs.noise(),
                                       (num_mc,) + layer.mu_bias.shape)
             sigma_b = sigma_from_rho(layer.rho_bias[...])
             b = (sigma_b * eps_b if est == "flipout"
@@ -435,14 +455,25 @@ def _mc_forward_scan(model, x, num_mc, return_kl, unroll=1, remat=True,
         out_sd = _forward_out_shapedtype(model, x)
         acc0 = jnp.zeros(out_sd.shape, jnp.float32)
     presampled = []
-    if presample == "xla" and num_mc > 1:
+    if presample in ("xla", "hash") and num_mc > 1:
         # reparam layers: full (S, ...) weight draws outside the loop;
         # flipout layers: RAW eps only (delta stays in the fused
         # in-body path); quantized reparam layers: the full quantized
-        # weight build
+        # weight build. generator="hash" swaps rbg+erfinv for the
+        # counter-hash Box-Muller (normal_fused) — same f32 N(0,1)
+        # quality, measured cheaper (doc/PROFILE_r05.md).
         presampled = _presample_layers_xla(
             model, num_mc, estimators=("reparameterization", "flipout"),
-            flipout_eps=True)
+            flipout_eps=True,
+            generator="hash" if presample == "hash" else "rbg")
+    elif presample == "on" and num_mc > 1:
+        # Pallas K1 batch sampler for the reparam weight draws (full
+        # f32 Box-Muller quality on the hardware PRNG); flipout keeps
+        # the xla raw-eps presample (the sampler emits scaled draws)
+        presampled = _presample_layers(
+            model, num_mc, estimators=("reparameterization",))
+        presampled += _presample_layers_xla(
+            model, num_mc, estimators=("flipout",), flipout_eps=True)
     state_axes = nnx.StateAxes({"noise": 0, Presampled: 0, ...: None})
 
     if reduce == "mean":
@@ -616,19 +647,12 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
     presampled = []
     try:
         if emission == "scan" and num_mc > 1 and not structured:
-            if presample == "on":
-                # the Pallas batch sampler only feeds the vmapped
-                # emission's Presampled layout; honor the caller's
-                # intent (presampled draws) via the XLA path, loudly
-                # (ADVICE r4).
-                import warnings
-
-                warnings.warn(
-                    "mc_forward: presample='on' (Pallas batch sampler) "
-                    "is unsupported under emission='scan'; using "
-                    "presample='xla' instead", RuntimeWarning,
-                    stacklevel=2)
-            scan_ps = "off" if presample == "off" else "xla"
+            # 'on' routes the reparam weight draws through the Pallas
+            # K1 batch sampler (round 5: its (S, ...) Presampled layout
+            # is exactly what the scan consumes); 'hash' swaps the
+            # generator for the counter-hash Box-Muller; 'auto' -> 'xla'
+            scan_ps = (presample if presample in ("off", "on", "hash")
+                       else "xla")
             try:
                 result = _mc_forward_scan(model, x, num_mc, return_kl,
                                           presample=scan_ps,

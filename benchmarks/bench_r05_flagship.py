@@ -207,6 +207,81 @@ def presample_g(model, S):
     return outs
 
 
+def presample_h(model, S):
+    """f32 eps generated in FLAT (S, n) shape per layer, reshaped to the
+    kernel shape afterwards. Theory: the (S, O, I, 1, 1)-shaped
+    generation fusions run at terrible VPU lane efficiency (minor dims
+    1x1); a flat iteration space restores full lanes, and for 1x1
+    kernels the row-major reshape is exactly the conv-preferred
+    {I-minor, O} layout."""
+    outs = []
+    for layer, mu, sigma, mu_b, sigma_b in _iter_entries(model):
+        n = mu.size
+        eps = jax.random.normal(layer.rngs.noise(), (S, n))
+        w = (mu.reshape(-1) + sigma.reshape(-1) * eps).astype(
+            jnp.bfloat16)
+        outs.append(w.reshape((S,) + mu.shape))
+        if mu_b is not None:
+            eps_b = jax.random.normal(layer.rngs.noise(),
+                                      (S,) + mu_b.shape)
+            outs.append(mu_b + sigma_b * eps_b)
+    return outs
+
+
+def presample_i(model, S):
+    """Counter-hash Box-Muller (ops/sampling.normal_fused): pure
+    elementwise iota+mix math, no rng-bit-generator op at all."""
+    from bayesian_torch_tpu.ops.sampling import normal_fused
+
+    outs = []
+    for layer, mu, sigma, mu_b, sigma_b in _iter_entries(model):
+        eps = normal_fused(layer.rngs.noise(), (S,) + mu.shape)
+        outs.append(((mu + sigma * eps).astype(jnp.bfloat16)))
+        if mu_b is not None:
+            eps_b = jax.random.normal(layer.rngs.noise(),
+                                      (S,) + mu_b.shape)
+            outs.append(mu_b + sigma_b * eps_b)
+    return outs
+
+
+def presample_j(model, S):
+    """f32 eps with DEGENERATE spatial dims squeezed: 1x1 kernels
+    (56% of RN50 params) generate at (S, O, I) instead of
+    (S, O, I, 1, 1); the reshape back only re-attaches size-1 dims
+    (no data movement)."""
+    outs = []
+    for layer, mu, sigma, mu_b, sigma_b in _iter_entries(model):
+        shp = tuple(d for d in mu.shape if d != 1)
+        eps = jax.random.normal(layer.rngs.noise(), (S,) + shp)
+        w = (mu.reshape(shp) + sigma.reshape(shp) * eps).astype(
+            jnp.bfloat16)
+        outs.append(w.reshape((S,) + mu.shape))
+        if mu_b is not None:
+            eps_b = jax.random.normal(layer.rngs.noise(),
+                                      (S,) + mu_b.shape)
+            outs.append(mu_b + sigma_b * eps_b)
+    return outs
+
+
+def presample_k(model, S):
+    """Box-Muller hash + squeezed degenerate dims (the two candidate
+    fixes composed)."""
+    from bayesian_torch_tpu.ops.sampling import normal_fused
+
+    outs = []
+    for layer, mu, sigma, mu_b, sigma_b in _iter_entries(model):
+        shp = tuple(d for d in mu.shape if d != 1)
+        eps = normal_fused(layer.rngs.noise(), (S,) + shp)
+        w = (mu.reshape(shp) + sigma.reshape(shp) * eps).astype(
+            jnp.bfloat16)
+        outs.append(w.reshape((S,) + mu.shape))
+        if mu_b is not None:
+            eps_b = jax.random.normal(layer.rngs.noise(),
+                                      (S,) + mu_b.shape)
+            outs.append(mu_b + sigma_b * eps_b)
+    return outs
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mc", type=int, default=10)
@@ -227,7 +302,11 @@ def main():
                          ("d sigma-barrier", presample_d),
                          ("e bf16-operands", presample_e),
                          ("f f32-eps/bf16-ops", presample_f),
-                         ("g bf16-eps/f32-ops", presample_g)):
+                         ("g bf16-eps/f32-ops", presample_g),
+                         ("h flat-shape-eps", presample_h),
+                         ("i box-muller-hash", presample_i),
+                         ("j squeeze-1x1", presample_j),
+                         ("k hash+squeeze", presample_k)):
             @jax.jit
             def run(st, fn=fn):
                 model = nnx.merge(gd, st)
@@ -254,8 +333,11 @@ def main():
                 f"({S * BATCH / t:.1f} imgs/s)")
             return t
 
-        flag("presampled stacked (r4 shipped)")
-        flag("presampled reduce=mean", reduce="mean")
+        flag("presampled-xla stacked (r4 shipped)")
+        flag("presampled-xla reduce=mean", reduce="mean")
+        flag("presampled-PALLAS (K1 batch sampler)", presample="on")
+        flag("presampled-PALLAS reduce=mean", presample="on",
+             reduce="mean")
 
         # det bs128 denominator for the run-local ratio
         det = build("det")

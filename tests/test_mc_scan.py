@@ -260,6 +260,24 @@ def test_flipout_scan_presample_runs_and_cleans_up():
     assert getattr(m.fc, "_presampled_eps", None) is None
 
 
+def test_scan_presample_hash_generator():
+    """presample='hash' (counter-hash Box-Muller generator in the scan
+    presample slot) produces valid, distinct, well-moment'd draws."""
+    m = LinearReparameterization(64, 32, posterior_rho_init=-2.0,
+                                 rngs=nnx.Rngs(params=0, noise=1))
+    m.eval()
+    x = jnp.ones((4, 64))
+    outs = mc_forward(m, x, 400, return_kl=False, emission="scan",
+                      presample="hash")
+    assert outs.shape == (400, 4, 32)
+    assert np.abs(np.asarray(outs[0] - outs[1])).max() > 0
+    mu_fwd = np.asarray(x) @ np.asarray(m.mu_weight[...]).T + np.asarray(
+        m.mu_bias[...])
+    np.testing.assert_allclose(np.asarray(outs).mean(0), mu_fwd,
+                               atol=0.15)
+    assert getattr(m, "_presampled_w", None) is None
+
+
 def test_scan_int8_presampled_weight_build():
     """INT8 layers under the scan emission presample the quantized
     weight BUILD (VERDICT r4 #3): with sigma -> 0 the built weight is

@@ -78,3 +78,49 @@ def test_nhwc_flax_model_full_ptq_chain():
     corr = float(jnp.corrcoef(jnp.asarray(float_out).ravel(),
                               jnp.asarray(q_out).ravel())[0, 1])
     assert corr > 0.95, corr
+
+
+def test_qtensor_int8_residual_add_differing_scales():
+    """QTensor.add_q: uint8 add + requant for DIFFERING operand scales
+    (the reference's add_relu FloatFunctional semantics,
+    ao/quantization/quantize.py:49-131) matches the exact fp32 add to
+    within one output quantum; the INT8_RESIDUAL_ADD flag reroutes
+    __add__ onto it."""
+    import numpy as np
+
+    from bayesian_torch_tpu.ops import qtensor as qt
+    from bayesian_torch_tpu.ops.int8 import quantize_uint8
+    from bayesian_torch_tpu.ops.qtensor import QTensor
+
+    rs = np.random.RandomState(0)
+    a_f = rs.uniform(-3, 3, (4, 8, 8, 16)).astype(np.float32)
+    b_f = rs.uniform(-6, 6, (4, 8, 8, 16)).astype(np.float32)
+    a = QTensor(quantize_uint8(jnp.asarray(a_f), 3 / 127.5, 128),
+                3 / 127.5, 128)
+    b = QTensor(quantize_uint8(jnp.asarray(b_f), 6 / 127.5, 128),
+                6 / 127.5, 128)
+
+    out = a.add_q(b)
+    assert out.q.dtype == jnp.uint8
+    assert out.scale == a.scale + b.scale
+    exact = a.dequantize() + b.dequantize()
+    np.testing.assert_allclose(np.asarray(out.dequantize()),
+                               np.asarray(exact), atol=out.scale * 1.01)
+    # relu stays uint8 on the result
+    r = out.relu()
+    np.testing.assert_allclose(
+        np.asarray(r.dequantize()),
+        np.maximum(np.asarray(out.dequantize()), 0.0),
+        atol=out.scale * 0.51)
+
+    # default __add__ falls back to fp32 (strictly more accurate);
+    # the flag flips it into the uint8 path
+    assert not isinstance(a + b, QTensor)
+    qt.INT8_RESIDUAL_ADD = True
+    try:
+        s = a + b
+        assert isinstance(s, QTensor)
+        np.testing.assert_array_equal(np.asarray(s.q),
+                                      np.asarray(out.q))
+    finally:
+        qt.INT8_RESIDUAL_ADD = False

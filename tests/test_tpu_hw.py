@@ -297,6 +297,219 @@ def test_im2col_qconv_matches_xla_on_hw():
     assert d <= 1, d
 
 
+def _small_bayes_net(rho=-2.0):
+    from bayesian_torch_tpu.layers import (Conv2dReparameterization,
+                                           LinearReparameterization,
+                                           make_rngs)
+
+    class Net(nnx.Module):
+        def __init__(self, rngs):
+            self.conv = Conv2dReparameterization(
+                3, 16, 1, posterior_rho_init=rho, data_format="NHWC",
+                rngs=rngs)
+            self.fc = LinearReparameterization(
+                16, 5, posterior_rho_init=rho, rngs=rngs)
+
+        def __call__(self, x):
+            out, kl1 = self.conv(x)
+            out = out.mean(axis=(1, 2))
+            out, kl2 = self.fc(out)
+            return out, kl1 + kl2
+
+    return Net(make_rngs(0, noise_seed=1))
+
+
+def test_scan_vs_vmap_sigma0_equality_on_hw():
+    """Round-4 scan emission vs vmap on the real chip: with sigma -> 0
+    both reduce to the mu forward, so every draw is equal bitwise-ish
+    regardless of key consumption differences."""
+    _require_tpu()
+    from bayesian_torch_tpu.parallel import mc_forward
+
+    model = _small_bayes_net(rho=-25.0)
+    gd, st = nnx.split(model)
+    x = jax.random.normal(jax.random.key(5), (8, 8, 8, 3))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run(st, x, emission):
+        return mc_forward(nnx.merge(gd, st), x, 4, return_kl=False,
+                          emission=emission)
+
+    a = np.asarray(run(st, x, "scan"))
+    b = np.asarray(run(st, x, "vmap"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_scan_presampled_draw_moments_on_hw():
+    """Presampled-scan draws (round-4/5 flagship path, incl. the
+    squeezed-shape generation) have the right predictive mean on the
+    real chip; the hash generator too."""
+    _require_tpu()
+    from bayesian_torch_tpu.parallel import mc_forward
+
+    x = jnp.ones((2, 4, 4, 3))
+    for ps in ("xla", "hash"):
+        model = _small_bayes_net(rho=-2.0)
+        outs = np.asarray(mc_forward(model, x, 400, return_kl=False,
+                                     emission="scan", presample=ps))
+        model2 = _small_bayes_net(rho=-25.0)
+        mu_fwd = np.asarray(mc_forward(model2, x, 1,
+                                       return_kl=False)[0])
+        assert np.abs(outs[0] - outs[1]).max() > 0
+        np.testing.assert_allclose(outs.mean(0), mu_fwd, atol=0.12)
+
+
+def test_scan_reduce_mean_matches_stacked_on_hw():
+    """reduce='mean' (mean in the scan carry) equals mean(stacked) on
+    the real chip, draw for draw (same cloned RNG state)."""
+    _require_tpu()
+    from bayesian_torch_tpu.parallel import mc_forward
+
+    x = jax.random.normal(jax.random.key(2), (4, 8, 8, 3))
+    m1 = _small_bayes_net(rho=-2.0)
+    stacked = np.asarray(
+        mc_forward(nnx.clone(m1), x, 6, return_kl=False,
+                   emission="scan")).astype(np.float32)
+    mean = np.asarray(mc_forward(nnx.clone(m1), x, 6, return_kl=False,
+                                 emission="scan", reduce="mean"))
+    np.testing.assert_allclose(stacked.mean(0), mean, rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_frozen_bn_scan_train_step_on_hw():
+    """Frozen-stat BN training through the scan emission: gradients
+    flow and are finite on the real chip (round-4 path)."""
+    _require_tpu()
+    import optax
+
+    from bayesian_torch_tpu.layers import (BatchNorm2dLayer,
+                                           Conv2dReparameterization,
+                                           make_rngs)
+    from bayesian_torch_tpu.parallel import mc_forward
+    from bayesian_torch_tpu.utils import freeze_batchnorm
+
+    class Net(nnx.Module):
+        def __init__(self, rngs):
+            self.conv = Conv2dReparameterization(
+                3, 8, 3, padding=1, data_format="NHWC", rngs=rngs)
+            self.bn = BatchNorm2dLayer(8, data_format="NHWC", rngs=rngs)
+
+        def __call__(self, x):
+            out, kl = self.conv(x)
+            out = nnx.relu(self.bn(out))
+            return out.mean(axis=(1, 2, 3))[:, None] * jnp.ones((1, 4)), kl
+
+    m = Net(make_rngs(0, noise_seed=1))
+    m.train()
+    m.bn.running_mean[...] = jnp.ones((8,)) * 0.1
+    assert freeze_batchnorm(m) == 1
+    y = jnp.zeros((4,), jnp.int32)
+    x = jax.random.normal(jax.random.key(3), (4, 8, 8, 3))
+    gd, st = nnx.split(m)
+
+    @jax.jit
+    def grads(st, x, y):
+        model = nnx.merge(gd, st)
+
+        def loss_fn(model):
+            outs, kl = mc_forward(model, x, 2, emission="scan")
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                outs.mean(0), y).mean()
+            return ce + kl / x.shape[0]
+
+        return nnx.value_and_grad(loss_fn)(model)
+
+    loss, g = grads(st, x, y)
+    assert np.isfinite(float(loss))
+    leaves = [np.asarray(v) for v in jax.tree.leaves(g)
+              if hasattr(v, "dtype")]
+    assert any(np.abs(v).max() > 0 for v in leaves)
+
+
+def test_flipout_frozen_delta_serving_on_hw():
+    """freeze_quantized_draws on a quantized flipout layer: the delta
+    draw is pinned (repeated calls share it) while the Rademacher signs
+    stay per-call — outputs differ across calls but agree under
+    sigma -> 0 (round-3/4 serving path, certified on chip)."""
+    _require_tpu()
+    from bayesian_torch_tpu.layers import LinearFlipout, make_rngs
+    from bayesian_torch_tpu.quantization import (freeze_quantized_draws,
+                                                 prepare, convert)
+
+    class Net(nnx.Module):
+        def __init__(self, rngs):
+            self.fc = LinearFlipout(16, 8, posterior_rho_init=-25.0,
+                                    rngs=rngs)
+
+        def __call__(self, x):
+            return self.fc(x)
+
+    net = Net(make_rngs(0, noise_seed=1))
+    net.eval()
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 16)
+                    .astype(np.float32))
+    prepare(net)
+    net(x)
+    convert(net)
+    ref, _ = net(x)
+    n = freeze_quantized_draws(net)
+    assert n == 1
+    o1, _ = net(x)
+    o2, _ = net(x)
+    # sigma ~ 0: frozen delta ~ 0, so all calls match the mean path
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(ref),
+                               atol=0.35)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=0.35)
+
+
+def test_int8_scan_presampled_build_on_hw():
+    """INT8 scan presample (round 5): sigma->0 makes the presampled
+    quantized weight build draw-independent — equality with the
+    in-body build on the real chip."""
+    _require_tpu()
+    from bayesian_torch_tpu.layers import (Conv2dReparameterization,
+                                           LinearReparameterization,
+                                           make_rngs)
+    from bayesian_torch_tpu.parallel import mc_forward
+    from bayesian_torch_tpu.quantization import convert, prepare
+
+    class Net(nnx.Module):
+        def __init__(self, rngs):
+            self.conv = Conv2dReparameterization(
+                3, 8, 3, padding=1, posterior_rho_init=-100.0,
+                data_format="NHWC", rngs=rngs)
+            self.fc = LinearReparameterization(
+                8, 10, posterior_rho_init=-100.0, rngs=rngs)
+
+        def __call__(self, x):
+            h, k1 = self.conv(x)
+            h = h.mean(axis=(1, 2))
+            o, k2 = self.fc(h)
+            return o, k1 + k2
+
+    def build():
+        net = Net(make_rngs(0, noise_seed=1))
+        net.eval()
+        xcal = jnp.asarray(np.random.RandomState(0).randn(
+            4, 8, 8, 3).astype(np.float32))
+        prepare(net)
+        for i in range(3):
+            net(xcal + 0.1 * i)
+        convert(net)
+        return net
+
+    x = jnp.asarray(np.random.RandomState(1).randn(4, 8, 8, 3)
+                    .astype(np.float32))
+    o_pre = np.asarray(mc_forward(build(), x, 3, return_kl=False,
+                                  emission="scan"))
+    o_off = np.asarray(mc_forward(build(), x, 3, return_kl=False,
+                                  emission="scan", presample="off"))
+    np.testing.assert_array_equal(o_pre, o_off)
+
+
 def test_structured_flipout_matches_vmapped_on_hw():
     """Structured (vmap-free) flipout path: sigma->0 draw-for-draw
     equality vs the vmapped path on the real chip (the CPU suite also
