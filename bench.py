@@ -375,12 +375,18 @@ def _train_step_time(kind, batch, data_format="NHWC", frozen_bn=False):
 def _soft(extras, section, fn):
     """Run one auxiliary bench section; a failure must not cost the
     headline JSON line the driver records (fields are simply absent and
-    the error is logged to stderr)."""
+    the error is logged to stderr). Compiled-executable caches are
+    dropped between sections (the persistent disk cache keeps reruns
+    fast) — without this the accumulated executables' buffers pushed
+    the late train sections into RESOURCE_EXHAUSTED once the int8 MC-10
+    bs128 section joined the lineup."""
     try:
         extras.update(fn())
     except Exception as e:  # noqa: BLE001 - driver robustness by design
         _log(f"bench section '{section}' failed: {type(e).__name__}: {e}")
         extras[f"{section}_error"] = f"{type(e).__name__}: {e}"[:200]
+    finally:
+        jax.clear_caches()
 
 
 def main():
@@ -477,11 +483,12 @@ def main():
             "train_mc4_frozenbn_ips": round(TRAIN_BATCH / t_frozen, 1),
         }
 
+    jax.clear_caches()
     _soft(extras, "flipout", flipout_section)
-    _soft(extras, "int8", int8_section)
-    _soft(extras, "int8_mc10", lambda: _measure_int8_mc10(layout))
     _soft(extras, "train", train_section)
     _soft(extras, "train_extra", train_extra_section)
+    _soft(extras, "int8", int8_section)
+    _soft(extras, "int8_mc10", lambda: _measure_int8_mc10(layout))
 
     alt = "NHWC" if layout == "NCHW" else "NCHW"
     print(json.dumps({
