@@ -430,6 +430,11 @@ def main():
     t_scan = _median([r[0] for r in rounds])
     t_det = _median([r[1] for r in rounds])
     ratio_band = sorted(d / s for s, d in rounds)
+    # free the headline block's device residents before the aux
+    # sections — x_big alone is 0.77 GB and the states/executables held
+    # by these locals pushed the train sections into RESOURCE_EXHAUSTED
+    del fwd_scan, state_scan, det_fwd, det_state, x_big
+    jax.clear_caches()
 
     emission = "scan" if t_scan < t_vmap else "vmap"
     t_bayes = min(t_scan, t_vmap)
