@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
-from bayesian_torch_tpu.ops.sampling import sample_gaussian_weight, sigma_from_rho
+from bayesian_torch_tpu.ops.sampling import (normal_squeezed,
+                                             sample_gaussian_weight,
+                                             sigma_from_rho)
 
 
 def _ntuple(x, n) -> Tuple[int, ...]:
@@ -338,7 +340,7 @@ def flipout_conv_structured(x, key, num_mc, mu_k, rho_k, mu_b=None,
 
     sigma_k = sigma_from_rho(rho_k)
     if eps_k is None:
-        eps_k = jax.random.normal(k_eps, (S,) + mu_k.shape, mu_k.dtype)
+        eps_k = normal_squeezed(k_eps, (S,) + mu_k.shape, mu_k.dtype)
     delta = (sigma_k * eps_k).reshape((S * out_ch,) + mu_k.shape[1:])
 
     b_mean = b_pert = None
@@ -409,7 +411,7 @@ def sampled_conv_structured(x, key, num_mc, mu_k, rho_k, mu_b=None,
 
     sigma_k = sigma_from_rho(rho_k)
     if eps_k is None:
-        eps_k = jax.random.normal(kw, (S,) + mu_k.shape, mu_k.dtype)
+        eps_k = normal_squeezed(kw, (S,) + mu_k.shape, mu_k.dtype)
     w = (mu_k + sigma_k * eps_k).reshape((S * out_ch,) + mu_k.shape[1:])
     b = None
     if mu_b is not None:
@@ -460,7 +462,7 @@ def flipout_conv(x, key, mu_k, rho_k, mu_b=None, rho_b=None, *,
 
     sigma_k = sigma_from_rho(rho_k)
     if eps_k is None:
-        eps_k = jax.random.normal(k_eps, mu_k.shape, mu_k.dtype)
+        eps_k = normal_squeezed(k_eps, mu_k.shape, mu_k.dtype)
     delta_k = sigma_k * eps_k
 
     pert_bias = None
