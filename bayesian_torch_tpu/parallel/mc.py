@@ -323,8 +323,11 @@ def _resolve_emission(model, x, num_mc, mesh, structured):
 
     vmap when: a mesh is given (scan serializes draws — an 'mc' axis
     gains nothing under it), the structured path was requested,
-    num_mc <= 1, any module is in training mode (BN EMA is vmap-shaped,
-    and frozen-BN scan training measured slower: 226.7 vs 207.8 ms),
+    num_mc <= 1, any module is in training mode (BN EMA is vmap-shaped;
+    for FROZEN-BN training, scan ties vmap on reparam (207.4 vs
+    208.4 ms MC4 bs128) and beats it on flipout (409.9 vs 461.3) —
+    pass emission="scan" explicitly for that opt-in fine-tuning mode,
+    auto stays conservative because scan training relies on remat),
     or the per-draw work is too small to amortize a sequential loop
     (see _SCAN_MIN_WORK). scan otherwise — the measured single-chip
     inference optimum (doc/PROFILE_r04.md).
