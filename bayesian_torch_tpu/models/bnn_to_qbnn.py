@@ -21,6 +21,12 @@ from bayesian_torch_tpu.layers.base_variational_layer import (
 )
 from bayesian_torch_tpu.nn.modules import Identity
 
+# the reference exposes torch.nn.quantized.BatchNorm2d under this name
+# (bnn_to_qbnn.py:41); our int8 BN twin answers to it too
+from bayesian_torch_tpu.layers.batchnorm import (  # noqa: F401
+    QuantizedBatchNorm2d as QBatchNorm2d,
+)
+
 
 def get_scale_and_zero_point(x, upper_bound: float = 100,
                              target_range: int = 255):

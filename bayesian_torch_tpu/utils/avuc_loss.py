@@ -18,6 +18,19 @@ import numpy as np
 EPS = 1e-10
 
 
+def auc(x, y):
+    """Trapezoidal area under the curve y(x).
+
+    The reference exposes sklearn's ``auc`` from this module
+    (avuc_loss.py:47) and integrates AvU-vs-threshold with it (:268,
+    :364); this equivalent is jnp-native so it jits and differentiates.
+    Like sklearn's, ``x`` must be sorted (either direction).
+    """
+    x = jnp.asarray(x)
+    area = jnp.trapezoid(jnp.asarray(y), x)
+    return jnp.where(x[-1] >= x[0], area, -area)
+
+
 def _entropy(prob, eps=EPS):
     return -jnp.sum(prob * jnp.log(prob + eps), axis=-1)
 
