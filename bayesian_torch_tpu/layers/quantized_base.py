@@ -271,10 +271,18 @@ class _QuantizedLayerBase(BaseVariationalLayer):
             w_scale = self._frozen_wscale[...]
             bias = self._frozen_bias[...] \
                 if self._frozen_bias is not None else None
-        elif pres is not None:
+        elif pres is not None and (
+                (self.quant_dict is not None and not self.legacy_ao)
+                or normal_scale == getattr(self, "_presampled_qnscale",
+                                           6 / 255)):
             # scan-emission presample: this draw's pre-built quantized
             # weight (parallel.mc._presample_layers_xla); the scale is
-            # draw-invariant (static per layer)
+            # draw-invariant (static per layer). The calibrated
+            # quant_dict path never reads normal_scale; on the
+            # uncalibrated path the presampled build is only valid for
+            # the normal_scale it was built with — a caller passing a
+            # different one falls through to the in-body draw below
+            # (correct values, loses the presample amortization).
             w_q = pres[...]
             w_scale = self._presampled_qscale
             if not isinstance(w_scale, float):

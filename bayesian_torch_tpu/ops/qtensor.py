@@ -38,6 +38,11 @@ import jax.numpy as jnp
 # adds are always exact uint8 regardless. Opt-in because the fp32
 # fallback is strictly MORE accurate; flip it (or call add_q with a
 # calibrated output scale) to keep the whole residual stream in uint8.
+# TRACE-TIME flag: it selects the add lowering while a function is
+# being traced, so set it BEFORE the first call of a jitted forward —
+# jit's cache does not key on it, and flipping it afterwards leaves
+# already-compiled executables on their old path (re-jit / clear
+# caches to switch an existing function).
 INT8_RESIDUAL_ADD = False
 
 

@@ -223,6 +223,10 @@ def _presample_layers_xla(model, num_mc, estimators=None,
                 6 / 255, eps=eps, eps_b=eps_b)
             if eps_b is None:
                 bias = None  # draw-invariant; layer re-derives it
+            # uncalibrated builds bake normal_scale into the int8 grid;
+            # the layer only consumes the presample when its call-time
+            # normal_scale matches this (quantized_base._forward_reparam)
+            layer._presampled_qnscale = 6 / 255
             qentries.append((layer, w_q, w_scale, bias))
             continue
         is_conv = getattr(layer, "mu_kernel", None) is not None
@@ -299,7 +303,8 @@ def _presample_layers_xla(model, num_mc, estimators=None,
             # the traced scalar in mapped state, one copy per draw
             w_scale = Presampled(jnp.broadcast_to(w_scale, (num_mc,)))
         layer._presampled_qscale = w_scale
-        attrs = ["_presampled_qw", "_presampled_qscale"]
+        attrs = ["_presampled_qw", "_presampled_qscale",
+                 "_presampled_qnscale"]
         if bias is not None:
             layer._presampled_qbias = Presampled(next(it))
             attrs.append("_presampled_qbias")
@@ -613,6 +618,10 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
         raise ValueError(
             f"mc_forward: unknown reduce {reduce!r} "
             "(expected None or 'mean')")
+    if presample not in ("auto", "off", "on", "xla", "hash"):
+        raise ValueError(
+            f"mc_forward: unknown presample {presample!r} "
+            "(expected 'auto', 'off', 'on', 'xla' or 'hash')")
     if emission == "auto":
         emission = _resolve_emission(model, x, num_mc, mesh, structured)
     if compute_kl is None:
@@ -673,7 +682,15 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
                 result = None
             if result is not None:
                 if reduce is not None:
-                    return result  # (B, ...) mean: no MC axis to reshard
+                    # (B, ...) mean: no MC axis, but the batch axis
+                    # keeps the mesh 'data' contract
+                    if mesh is not None:
+                        outs = result[0] if return_kl else result
+                        outs = jax.lax.with_sharding_constraint(
+                            outs, NamedSharding(mesh, P("data")))
+                        result = ((outs, result[1]) if return_kl
+                                  else outs)
+                    return result
                 return _reshard_mc(result, mesh, return_kl)
         if structured and num_mc > 1:
             try:
@@ -693,8 +710,10 @@ def mc_forward(model: nnx.Module, x, num_mc: int, *,
             if result is not None:
                 result = _reshard_mc(result, mesh, return_kl)
                 return _reduce_mc(result, reduce, return_kl)
-        if presample == "xla" and num_mc > 1:
-            presampled = _presample_layers_xla(model, num_mc)
+        if presample in ("xla", "hash") and num_mc > 1:
+            presampled = _presample_layers_xla(
+                model, num_mc,
+                generator="hash" if presample == "hash" else "rbg")
         elif use_presample:
             presampled = _presample_layers(model, num_mc)
         result = _mc_forward_inner(model, x, num_mc, mesh, return_kl,

@@ -296,6 +296,10 @@ def _measure_int8_mc10(data_format="NHWC"):
             continue
         if ips > best_ips:
             best_ips, best_cfg = ips, f"{emission}-bs{batch}"
+    if not best_cfg:
+        # surface the failure through _soft's *_error field instead of
+        # recording a silent 0.0 "throughput"
+        raise RuntimeError("all int8 MC-10 configs failed (see stderr)")
     return {"int8_mc10_ips": round(best_ips, 2),
             "int8_mc10_config": best_cfg}
 
@@ -429,7 +433,6 @@ def main():
              f" -> {t_d / t_s:.4f}")
     t_scan = _median([r[0] for r in rounds])
     t_det = _median([r[1] for r in rounds])
-    ratio_band = sorted(d / s for s, d in rounds)
     # free the headline block's device residents before the aux
     # sections — x_big alone is 0.77 GB and the states/executables held
     # by these locals pushed the train sections into RESOURCE_EXHAUSTED
@@ -440,6 +443,15 @@ def main():
     t_bayes = min(t_scan, t_vmap)
     bayes_ips = BATCH / t_bayes
     det10_ips = BATCH / t_det
+    # vs_baseline = median of the PER-ROUND ratios for the WINNING
+    # emission (so the headline always lies inside its own band and the
+    # band always describes the headline's emission; a ratio of two
+    # medians taken from different rounds could fall outside the band)
+    if emission == "scan":
+        ratio_band = sorted(d / s for s, d in rounds)
+    else:
+        ratio_band = sorted(d / t_vmap for _, d in rounds)
+    vs_baseline = _median(ratio_band)
     flops = BATCH * NUM_MC * RESNET50_FLOPS_PER_IMG
 
     extras = {}
@@ -500,7 +512,7 @@ def main():
         "metric": "bayesian_resnet50_mc10_inference",
         "value": round(bayes_ips, 2),
         "unit": "imgs/sec/chip",
-        "vs_baseline": round(bayes_ips / det10_ips, 4),
+        "vs_baseline": round(vs_baseline, 4),
         "layout": layout,
         "emission": emission,
         "vs_baseline_band": [round(ratio_band[0], 4),

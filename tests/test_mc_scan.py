@@ -112,10 +112,12 @@ def test_scan_moments_match_mean_forward():
 
 
 def test_scan_presampled_flipout():
-    # flipout under the default scan: flipout layers are NOT presampled
-    # (the delta-kernel fast path lives in-body — parallel/mc.py
-    # measured 513 vs 257 ms); draws must be distinct and centered on
-    # the mean forward regardless.
+    # flipout under the default scan (round-5 semantics): the RAW eps is
+    # presampled outside the loop (_presampled_eps) while the delta
+    # build (sigma*eps) and the iota signs stay in-body on the fused
+    # fast path — presampling the DELTA instead measured 513 vs 257 ms
+    # (parallel/mc.py). Draws must be distinct, centered on the mean
+    # forward, and leave no presample residue.
     from bayesian_torch_tpu.layers import LinearFlipout
 
     m = LinearFlipout(6, 4, posterior_rho_init=-2.0,
@@ -127,6 +129,8 @@ def test_scan_presampled_flipout():
     mu_fwd = np.asarray(x) @ np.asarray(m.mu_weight[...]).T + np.asarray(
         m.mu_bias[...])
     np.testing.assert_allclose(np.asarray(outs).mean(0), mu_fwd, atol=0.1)
+    assert getattr(m, "_presampled_eps", None) is None
+    assert getattr(m, "_presampled_eps_b", None) is None
 
 
 def test_scan_deterministic_given_state():
@@ -371,6 +375,125 @@ def test_scan_int8_presampled_weight_build():
     assert np.abs(outs[0] - outs[1]).max() > 0
     assert getattr(net.conv, "_presampled_qw", None) is None
     assert not hasattr(net.conv, "_presampled_qscale")
+
+
+def test_scan_int8_uncalibrated_and_normal_scale_fallback():
+    """The UNCALIBRATED (bnn_to_qbnn, no quant_dict) int8 path under
+    the scan emission: presampled weight builds run and match the
+    in-body variant at sigma -> 0; and a call-time normal_scale that
+    differs from the presample's 6/255 falls back to the in-body build
+    (the presampled int8 grid bakes normal_scale in — consuming it at a
+    different scale would be silently wrong)."""
+    import numpy as np
+
+    from bayesian_torch_tpu.layers import LinearReparameterization as L
+    from bayesian_torch_tpu.models.bnn_to_qbnn import bnn_to_qbnn
+    from bayesian_torch_tpu.parallel.mc import _presample_layers_xla
+
+    class Net(nnx.Module):
+        def __init__(self, rngs, rho=-100.0):
+            self.fc1 = L(6, 16, posterior_rho_init=rho, rngs=rngs)
+            self.fc2 = L(16, 4, posterior_rho_init=rho, rngs=rngs)
+
+        def __call__(self, x):
+            h, k1 = self.fc1(x)
+            o, k2 = self.fc2(jax.nn.relu(h))
+            return o, k1 + k2
+
+    def build(rho):
+        net = Net(nnx.Rngs(params=0, noise=1), rho=rho)
+        bnn_to_qbnn(net)
+        return net
+
+    x = jnp.asarray(np.random.RandomState(1).randn(3, 6)
+                    .astype(np.float32))
+    o_pre = np.asarray(mc_forward(build(-100.0), x, 3, return_kl=False,
+                                  emission="scan"))
+    o_off = np.asarray(mc_forward(build(-100.0), x, 3, return_kl=False,
+                                  emission="scan", presample="off"))
+    assert o_pre.shape == (3, 3, 4)
+    np.testing.assert_array_equal(o_pre, o_off)
+
+    # normal_scale mismatch: layer must NOT consume the 6/255 presample.
+    # Routing is tested by POISONING the presampled weight with zeros —
+    # numeric comparison between the two paths is flaky by construction
+    # (different int8 grids round borderline values one output-grid
+    # step apart even at sigma -> 0).
+    net = build(-100.0)
+    touched = _presample_layers_xla(net, 2)
+    assert touched  # quantized layers were presampled
+    layer = net.fc1
+    # the presampled tensors carry a leading (S, ...) draw axis that the
+    # scan normally slices; calling the layer directly, pin draw 0 and
+    # zero the weight so consuming it is unmistakable
+    layer._presampled_qw = type(layer._presampled_qw)(
+        jnp.zeros_like(layer._presampled_qw[...][0]))
+    if getattr(layer, "_presampled_qbias", None) is not None:
+        layer._presampled_qbias = type(layer._presampled_qbias)(
+            layer._presampled_qbias[...][0])
+    o_match = layer(x, normal_scale=6 / 255)
+    o_other = layer(x, normal_scale=0.1)
+    o_match = np.asarray(o_match[0] if isinstance(o_match, tuple)
+                         else o_match)
+    o_other = np.asarray(o_other[0] if isinstance(o_other, tuple)
+                         else o_other)
+    # matching scale consumed the zeroed presample: output is bias-only,
+    # identical for every input row
+    np.testing.assert_array_equal(o_match[0], o_match[1])
+    np.testing.assert_array_equal(o_match[0], o_match[2])
+    # mismatched scale fell back to the in-body build: real weights,
+    # input-dependent rows
+    assert np.abs(o_other[0] - o_other[1]).max() > 0
+    for lyr, attrs in touched:
+        for a in attrs:
+            if hasattr(lyr, a):
+                delattr(lyr, a)
+
+
+def test_mc_forward_presample_validation():
+    m = LinearReparameterization(6, 4, rngs=nnx.Rngs(params=0, noise=1))
+    x = jnp.ones((2, 6))
+    with pytest.raises(ValueError, match="presample"):
+        mc_forward(m, x, 4, presample="pallas")
+    with pytest.raises(ValueError, match="presample"):
+        mc_forward(m, x, 4, emission="scan", presample="xLa")
+
+
+def test_vmap_presample_hash_generator():
+    """presample='hash' under the VMAPPED emission routes through the
+    counter-hash generator (round-5: previously silently ignored)."""
+    m = LinearReparameterization(16, 8, posterior_rho_init=-2.0,
+                                 rngs=nnx.Rngs(params=0, noise=1))
+    m.eval()
+    x = jnp.ones((2, 16))
+    outs = mc_forward(m, x, 400, return_kl=False, emission="vmap",
+                      presample="hash")
+    assert outs.shape == (400, 2, 8)
+    assert np.abs(np.asarray(outs[0] - outs[1])).max() > 0
+    mu_fwd = np.asarray(x) @ np.asarray(m.mu_weight[...]).T + np.asarray(
+        m.mu_bias[...])
+    np.testing.assert_allclose(np.asarray(outs).mean(0), mu_fwd,
+                               atol=0.15)
+    assert getattr(m, "_presampled_w", None) is None
+
+
+def test_scan_reduce_mean_mesh_sharded():
+    """mesh + emission='scan' + reduce='mean': the (B, ...) mean keeps
+    the 'data' sharding contract (round-5 fix: the early return used to
+    skip the constraint entirely)."""
+    mesh = make_mesh(mc=4, data=2)
+    m = LinearReparameterization(6, 4, rngs=nnx.Rngs(params=0, noise=1))
+    x = shard_batch(jnp.ones((4, 6)), mesh)
+
+    @nnx.jit
+    def run(m, x):
+        return mc_forward(m, x, num_mc=4, mesh=mesh, emission="scan",
+                          reduce="mean")
+
+    with mesh:
+        outs, kl = run(m, x)
+    assert outs.shape == (4, 4)
+    assert len(outs.sharding.device_set) >= 2
 
 
 def test_scan_sharded_output():
